@@ -1,0 +1,95 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Metric: real-time factor (RTF = wall / audio-seconds) for batched greedy
+decode on Whisper-tiny dims, batch 8, 30 s utterances, 64 new tokens each,
+bf16, one chip. Reference baseline: C++ Whisper-Tiny RTF 0.08 on AX650N
+(BASELINE.md / reference README.md:217). ``vs_baseline`` is the speedup
+factor baseline_rtf / our_rtf (>1 = faster than reference).
+
+Weights are random-init (no pretrained checkpoints reachable offline) — RTF
+is decode-length-controlled so timing is representative regardless.
+
+Env knobs: BENCH_MODEL (tiny), BENCH_BATCH (8), BENCH_TOKENS (64),
+BENCH_REPEATS (3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    model = os.environ.get("BENCH_MODEL", "tiny")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.config import N_SAMPLES, get_config
+    from whisper_tpu.decode import greedy_decode
+    from whisper_tpu.models.model import init_params
+    from whisper_tpu.ops.mel import log_mel_batch
+
+    cfg = get_config(model)
+    print(f"[bench] devices={jax.devices()} model={model} batch={batch} "
+          f"tokens={n_tokens}", file=sys.stderr)
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1)
+    lengths = jnp.full((batch,), N_SAMPLES, jnp.int32)
+    prompt = jnp.asarray(
+        np.tile(np.asarray([cfg.sot_sequence("zh", "transcribe")], np.int32), (batch, 1))
+    )
+
+    def run():
+        mel = log_mel_batch(audio, lengths, n_mels=cfg.n_mels)
+        res = greedy_decode(
+            params, mel, prompt, cfg,
+            compute_dtype=jnp.bfloat16,
+            max_tokens=n_tokens,
+        )
+        return res.tokens
+
+    t0 = time.perf_counter()
+    run().block_until_ready()
+    compile_s = time.perf_counter() - t0
+    print(f"[bench] compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run().block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    audio_seconds = batch * (N_SAMPLES / 16000)
+    rtf = wall / audio_seconds
+    baseline_rtf = 0.08  # reference C++ tiny on AX650N (README.md:217)
+    out = {
+        "metric": f"rtf_{model}_b{batch}_t{n_tokens}",
+        "value": round(rtf, 6),
+        "unit": "wall_s/audio_s (lower=better)",
+        "vs_baseline": round(baseline_rtf / rtf, 3),
+    }
+    print(f"[bench] wall={wall:.3f}s audio={audio_seconds:.0f}s "
+          f"throughput={audio_seconds/wall:.1f} audio-s/s", file=sys.stderr)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

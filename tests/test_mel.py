@@ -1,0 +1,100 @@
+"""Audio frontend tests: conv-STFT vs numpy FFT golden, filterbank shape,
+normalization and padding semantics (reference python/whisper.py:131-166)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_tpu.config import HOP_LENGTH, N_FFT, N_FRAMES, N_SAMPLES
+from whisper_tpu.ops import mel as M
+
+
+def _np_stft_power(x: np.ndarray, n_fft=N_FFT, hop=HOP_LENGTH) -> np.ndarray:
+    """Golden: center/reflect-pad STFT power via np.fft (librosa semantics)."""
+    n = np.arange(n_fft)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    xp = np.pad(x, n_fft // 2, mode="reflect")
+    n_frames = 1 + (len(xp) - n_fft) // hop
+    frames = np.stack([xp[i * hop : i * hop + n_fft] * window for i in range(n_frames)])
+    spec = np.fft.rfft(frames, axis=-1)
+    return (np.abs(spec) ** 2).T.astype(np.float32)  # (n_freq, T)
+
+
+def test_conv_stft_matches_np_fft(rng):
+    x = rng.standard_normal(16000).astype(np.float32) * 0.3
+    golden = _np_stft_power(x)
+    xp = jnp.pad(jnp.asarray(x)[None], ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
+    got = np.asarray(M._power_spectrum(xp, N_FFT, HOP_LENGTH))[0]
+    assert got.shape == golden.shape
+    np.testing.assert_allclose(got, golden, rtol=2e-4, atol=2e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = M.mel_filterbank(80, N_FFT)
+    assert fb.shape == (80, N_FFT // 2 + 1)
+    assert (fb >= 0).all()
+    # each filter has non-empty support; slaney norm keeps peaks small
+    assert (fb.sum(axis=1) > 0).all()
+    assert fb.max() < 0.1
+    fb128 = M.mel_filterbank(128, N_FFT)
+    assert fb128.shape == (128, N_FFT // 2 + 1)
+
+
+def test_log_mel_shapes_and_padding(rng):
+    # short audio -> zero feature padding beyond valid frames
+    x = rng.standard_normal(16000).astype(np.float32) * 0.1
+    feats = np.asarray(M.log_mel_spectrogram(jnp.asarray(x)))
+    assert feats.shape == (1, 80, N_FRAMES)
+    n_valid = 16000 // HOP_LENGTH + 1
+    assert np.all(feats[..., n_valid:] == 0.0)
+    assert not np.all(feats[..., :n_valid] == 0.0)
+    # values live in the whisper-normalized range
+    nz = feats[..., :n_valid]
+    assert nz.min() >= -1.0 - 1e-5 and nz.max() <= 2.0
+
+
+def test_log_mel_truncation_zero_tail(rng):
+    # 31 s audio: truncate to 3000 frames, last 50 zeroed (whisper.py:148-152)
+    x = rng.standard_normal(N_SAMPLES + 16000).astype(np.float32) * 0.1
+    feats = np.asarray(M.log_mel_spectrogram(jnp.asarray(x)))
+    assert feats.shape == (1, 80, N_FRAMES)
+    assert np.all(feats[..., -M.ZERO_TAIL_FRAMES :] == 0.0)
+    assert not np.all(feats[..., : -M.ZERO_TAIL_FRAMES] == 0.0)
+
+
+def test_log_mel_batch_matches_exact(rng):
+    """Batched fixed-shape path == exact path away from the pad boundary."""
+    n = 16000 * 3
+    x = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    exact = np.asarray(M.log_mel_spectrogram(jnp.asarray(x)))[0]
+
+    batch = np.zeros((2, N_SAMPLES), np.float32)
+    batch[0, :n] = x
+    batch[1, : n // 2] = x[: n // 2]
+    lengths = jnp.asarray(np.array([n, n // 2], np.int32))
+    got = np.asarray(M.log_mel_batch(jnp.asarray(batch), lengths))
+    assert got.shape == (2, 80, N_FRAMES)
+
+    n_valid = n // HOP_LENGTH + 1
+    # boundary frames (last ~2) see zero-pad instead of reflect: exclude them
+    np.testing.assert_allclose(got[0, :, : n_valid - 3], exact[:, : n_valid - 3],
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(got[0, :, n_valid:] == 0.0)
+    assert np.all(got[1, :, n // 2 // HOP_LENGTH + 1 :] == 0.0)
+
+
+def test_per_utterance_max_is_independent(rng):
+    """The -8 dB clamp must use each utterance's own max (not the batch max)."""
+    loud = (rng.standard_normal(16000) * 0.5).astype(np.float32)
+    quiet = (loud * 1e-3).astype(np.float32)
+    batch = np.zeros((2, N_SAMPLES), np.float32)
+    batch[0, :16000] = loud
+    batch[1, :16000] = quiet
+    lengths = jnp.asarray(np.array([16000, 16000], np.int32))
+    got = np.asarray(M.log_mel_batch(jnp.asarray(batch), lengths))
+
+    solo = np.asarray(M.log_mel_spectrogram(jnp.asarray(quiet)))[0]
+    n_valid = 16000 // HOP_LENGTH + 1
+    np.testing.assert_allclose(got[1, :, : n_valid - 3], solo[:, : n_valid - 3],
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,94 @@
+"""Tokenizer tests: special-token layout, config-derived ids, round trips.
+
+Validates against the known public multilingual Whisper vocab layout the
+reference relies on (python/whisper_tokenizer.py:330-363).
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.config import get_config
+from whisper_tpu.tokenizer import LANGUAGES, get_tokenizer, find_vocab_file
+
+
+@pytest.fixture(scope="module")
+def tok():
+    try:
+        find_vocab_file()
+    except FileNotFoundError:
+        pytest.skip("vocab asset not available")
+    return get_tokenizer(True, num_languages=99, language="zh", task="transcribe")
+
+
+def test_special_token_ids(tok):
+    # canonical multilingual ids
+    assert tok.eot == 50257
+    assert tok.sot == 50258
+    assert tok.to_language_token("en") == 50259
+    assert tok.to_language_token("zh") == 50260
+    assert tok.translate == 50358
+    assert tok.transcribe == 50359
+    assert tok.sot_lm == 50360
+    assert tok.sot_prev == 50361
+    assert tok.no_speech == 50362
+    assert tok.no_timestamps == 50363
+    assert tok.timestamp_begin == 50364
+
+
+def test_config_matches_tokenizer(tok):
+    cfg = get_config("tiny")
+    assert cfg.eot == tok.eot
+    assert cfg.sot == tok.sot
+    assert cfg.transcribe == tok.transcribe
+    assert cfg.translate == tok.translate
+    assert cfg.no_timestamps == tok.no_timestamps
+    assert cfg.no_speech == tok.no_speech
+    assert cfg.timestamp_begin == tok.timestamp_begin
+    assert cfg.lang_token_start == tok.to_language_token("en")
+    # sot sequence [sot, lang, task, no_ts] (python/whisper.py:112-114)
+    assert cfg.sot_sequence("zh", "transcribe") == (50258, 50260, 50359, 50363)
+    assert tok.sot_sequence_including_notimestamps == (50258, 50260, 50359, 50363)
+
+
+def test_turbo_layout_shifts_by_one():
+    try:
+        find_vocab_file()
+    except FileNotFoundError:
+        pytest.skip("vocab asset not available")
+    cfg = get_config("turbo")
+    tok100 = get_tokenizer(True, num_languages=100, language="yue", task="transcribe")
+    assert cfg.n_vocab == 51866
+    assert cfg.eot == 50257
+    assert tok100.to_language_token("yue") == 50358
+    assert cfg.transcribe == tok100.transcribe == 50360
+    assert cfg.no_timestamps == tok100.no_timestamps == 50364
+
+
+def test_roundtrip(tok):
+    for text in ["Hello, world!", "今天天气不错", "甚至出现交易几乎停止的情况"]:
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text
+
+
+def test_decode_skips_specials_and_timestamps(tok):
+    ids = tok.encode("hello")
+    full = [tok.sot] + ids + [tok.timestamp_begin + 10, tok.eot]
+    # decode() drops everything >= timestamp_begin; sot/eot are < timestamp_begin
+    # but >= eot so strip them like the reference does before decode
+    text_ids = [i for i in full if i < tok.eot]
+    assert tok.decode(text_ids) == "hello"
+    ts = tok.decode_with_timestamps([tok.timestamp_begin + 100] + ids)
+    assert ts.startswith("<|2.00|>")
+
+
+def test_language_table():
+    assert len(LANGUAGES) == 100
+    assert list(LANGUAGES)[:4] == ["en", "zh", "de", "es"]
+    assert list(LANGUAGES)[-1] == "yue"
+
+
+def test_split_words_zh(tok):
+    ids = tok.encode("今天天气")
+    words, word_tokens = tok.split_to_word_tokens(ids)
+    assert "".join(words) == "今天天气"
+    assert sum(len(w) for w in word_tokens) == len(ids)

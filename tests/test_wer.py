@@ -1,0 +1,39 @@
+"""WER harness tests (edit distance semantics match reference
+test_wer.py:209-246)."""
+
+import os
+
+from whisper_tpu.eval.wer import AIShellDataset, WerResult, edit_distance, score_pairs
+
+
+def test_edit_distance():
+    assert edit_distance("", "") == 0
+    assert edit_distance("abc", "abc") == 0
+    assert edit_distance("abc", "") == 3
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance("今天天气", "今天天汽") == 1
+    assert edit_distance("abc", "acb") == 2
+
+
+def test_score_pairs_punctuation_and_accumulation():
+    res = score_pairs([
+        ("a.wav", "今天天气不错。", "今天天气不错"),   # punct stripped -> 0 err
+        ("b.wav", "你好世界", "你好地球"),             # 2 errors / 4 chars
+    ])
+    assert res.total_errors == 2
+    assert res.total_chars == 10
+    assert abs(res.wer - 0.2) < 1e-9
+    assert res.per_utt[0][3] == 0.0
+    assert abs(res.per_utt[1][3] - 0.5) < 1e-9
+
+
+def test_aishell_dataset(tmp_path):
+    gt = tmp_path / "ground_truth.txt"
+    (tmp_path / "aishell_S0764").mkdir()
+    gt.write_text("BAC009S0764W0121 甚至出现交易几乎停止的情况\n"
+                  "BAC009S0764W0122 一二三\n")
+    ds = AIShellDataset(str(gt))
+    assert len(ds) == 2
+    items = list(ds)
+    assert items[0].transcript == "甚至出现交易几乎停止的情况"
+    assert items[0].path.endswith("aishell_S0764/BAC009S0764W0121.wav")

@@ -1,0 +1,27 @@
+"""whisper_tpu — a TPU-native Whisper ASR serving stack.
+
+Built from scratch for TPU (JAX/XLA/Pallas/pjit) with the capability surface
+of the ml-inory/whisper.axera edge-NPU deployment: all model sizes
+(tiny..large-v3, turbo, distil), transcribe/translate across 99+ languages,
+CLI, HTTP server, WER eval harness, and direct checkpoint ingestion — plus
+what the reference lacks: batching, beam search, language auto-detection,
+device-resident decode loops, multi-chip sharding and quantized serving.
+"""
+
+from .config import WhisperConfig, get_config, PRESETS
+from .pipeline import WhisperPipeline, TranscribeResult
+from .tokenizer import Tokenizer, get_tokenizer, LANGUAGES
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "WhisperConfig",
+    "get_config",
+    "PRESETS",
+    "WhisperPipeline",
+    "TranscribeResult",
+    "Tokenizer",
+    "get_tokenizer",
+    "LANGUAGES",
+    "__version__",
+]

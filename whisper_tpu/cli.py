@@ -1,0 +1,64 @@
+"""Command-line front-end.
+
+Counterpart of python/whisper_cli.py / cpp/whisper_cli.cpp: transcribe one or
+many files, print text + RTF. Adds batch mode and language auto-detection.
+
+Usage:
+    python -m whisper_tpu.cli --wav demo.wav --model_type tiny --language zh
+    python -m whisper_tpu.cli --wav a.wav b.wav --model_type base --language auto
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("whisper_tpu", description="TPU-native Whisper ASR")
+    # flag names follow the reference CLI (python/whisper_cli.py:7-43)
+    p.add_argument("--wav", "-w", nargs="+", required=True, help="input WAV file(s)")
+    p.add_argument("--model_type", "-t", default="tiny",
+                   help="tiny|base|small|medium|large-v3|turbo|distil-large-v3")
+    p.add_argument("--checkpoint", "-p", default=None,
+                   help="OpenAI .pt / HF dir / .safetensors weights (random init if omitted)")
+    p.add_argument("--language", "-l", default="zh", help="language code or 'auto'")
+    p.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
+    p.add_argument("--timestamps", action="store_true", help="emit timestamp tokens")
+    p.add_argument("--max_tokens", type=int, default=None,
+                   help="cap on generated tokens (default: model ctx limit)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    from .pipeline import WhisperPipeline
+
+    t0 = time.perf_counter()
+    pipe = WhisperPipeline(
+        model=args.model_type,
+        checkpoint=args.checkpoint,
+        language=None if args.language == "auto" else args.language,
+        task=args.task,
+        compute_dtype=args.dtype,
+        beam_size=args.beam,
+        timestamps=args.timestamps,
+        max_tokens=args.max_tokens,
+    )
+    print(f"Init model cost: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+
+    results = pipe.transcribe_batch(args.wav)
+    for path, r in zip(args.wav, results):
+        print(f"{path}\t[{r.language}]\t{r.text}")
+        print(
+            f"  audio {r.audio_seconds:.2f}s  wall {r.wall_seconds:.2f}s  RTF {r.rtf:.4f}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

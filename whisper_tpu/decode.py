@@ -1,0 +1,141 @@
+"""Batched autoregressive decoding, fully on-device.
+
+The reference drives generation from the host: one NPU call per token, with
+the entire 448-slot KV cache shipped host->device every step
+(python/whisper.py:241-253; cpp/src/Whisper.cpp:290-346). Here the whole
+loop — prefill, per-token decoder step, KV update, argmax, stop condition —
+is a single jitted ``lax.while_loop``; the host sees only the final token
+buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .models.model import (
+    KVCache,
+    Params,
+    compute_cross_kv,
+    decoder_forward,
+    encoder_forward,
+)
+
+
+class GreedyResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, n_text_ctx) int32, prompt included, eot-padded
+    lengths: jnp.ndarray  # (B,) int32: index of first eot after prompt (= total length)
+
+
+def _suppress(logits: jnp.ndarray, suppress_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if suppress_ids is None:
+        return logits
+    return logits.at[..., suppress_ids].set(-jnp.inf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens"),
+)
+def greedy_decode(
+    params: Params,
+    mel: jnp.ndarray,  # (B, n_mels, 3000)
+    prompt: jnp.ndarray,  # (B, P) int32 — usually [sot, lang, task, no_ts]
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+    prompt_len: Optional[int] = None,
+    max_tokens: Optional[int] = None,
+    suppress_ids: Optional[jnp.ndarray] = None,
+) -> GreedyResult:
+    """Encoder + prefill + greedy token loop in one compiled program.
+
+    Matches the reference's decode semantics (greedy argmax, stop at eot or
+    n_text_ctx, python/whisper.py:224-253) with batching the reference lacks
+    (batch hardcoded to 1 at python/whisper.py:192).
+    """
+    B = mel.shape[0]
+    P = prompt_len or prompt.shape[1]
+    T = cfg.n_text_ctx
+    limit = min(T, P + max_tokens) if max_tokens else T
+    eot = cfg.eot
+
+    audio = encoder_forward(params, mel, cfg, compute_dtype)
+    cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
+    kv = KVCache.create(cfg, B, dtype=compute_dtype)
+
+    tokens = jnp.full((B, T), eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+
+    # prefill all prompt positions in one pass
+    logits, kv = decoder_forward(params, prompt, 0, kv, cross_kv, cfg, compute_dtype)
+    first = jnp.argmax(_suppress(logits[:, -1], suppress_ids), axis=-1).astype(jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, first[:, None], (0, P))
+    done = first == eot
+
+    def cond(state):
+        tokens, k, v, i, done = state
+        return jnp.logical_and(i < limit - 1, jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        tokens, k, v, i, done = state
+        tok_i = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
+        logits, new_kv = decoder_forward(
+            params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype
+        )
+        nxt = jnp.argmax(_suppress(logits[:, 0], suppress_ids), axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eot, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+        done = jnp.logical_or(done, nxt == eot)
+        return tokens, new_kv.k, new_kv.v, i + 1, done
+
+    tokens, _, _, final_i, done = jax.lax.while_loop(
+        cond, body, (tokens, kv.k, kv.v, jnp.int32(P), done)
+    )
+
+    is_eot = tokens == eot
+    pos = jnp.arange(T)[None, :]
+    first_eot = jnp.min(jnp.where(jnp.logical_and(is_eot, pos >= P), pos, T), axis=1)
+    return GreedyResult(tokens=tokens, lengths=first_eot)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def detect_language(
+    params: Params,
+    mel: jnp.ndarray,  # (B, n_mels, 3000)
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Language-ID pass: one decoder step on [sot], softmax over lang tokens.
+
+    The reference carries ``all_language_tokens`` metadata and documents an
+    "auto" language (cpp/src/api/ax_whisper_api.h:40) but never implements
+    detection; this provides it. Returns (lang_index (B,), probs (B, n_lang))
+    where lang_index is an offset into the canonical language list.
+    """
+    B = mel.shape[0]
+    audio = encoder_forward(params, mel, cfg, compute_dtype)
+    cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
+    kv = KVCache.create(cfg, B, dtype=compute_dtype)
+    sot = jnp.full((B, 1), cfg.sot, jnp.int32)
+    logits, _ = decoder_forward(params, sot, 0, kv, cross_kv, cfg, compute_dtype)
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], cfg.lang_token_start, cfg.num_languages, axis=-1
+    )
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    return jnp.argmax(lang_logits, axis=-1), probs
+
+
+def extract_texts(result: GreedyResult, prompt_len: int, tokenizer) -> list:
+    """Host-side: token buffer -> list of decoded strings."""
+    toks = np.asarray(result.tokens)
+    lens = np.asarray(result.lengths)
+    out = []
+    for b in range(toks.shape[0]):
+        ids = toks[b, prompt_len : lens[b]]
+        out.append(tokenizer.decode(ids).strip())
+    return out

@@ -1,0 +1,153 @@
+"""WER evaluation harness: datasets, edit distance, batched eval loop.
+
+Counterpart of the reference's python/test_wer.py: AIShell ("<utt> <gt>"
+lines) and CommonVoice (TSV) dataset iterators, char-level edit distance
+after punctuation stripping, per-utterance and total WER with the same
+accumulation (errors/chars), plus what the reference lacks: batched
+inference across the dataset.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+from ..text import remove_punctuation
+
+logger = logging.getLogger("whisper_tpu.wer")
+
+
+@dataclass
+class Utterance:
+    path: str
+    transcript: str
+
+
+class AIShellDataset:
+    """Ground-truth file of "<utt_id> <transcript>" lines; wavs live next to
+    it (reference python/test_wer.py:45-93 with wavs in aishell_S0764/)."""
+
+    def __init__(self, gt_path: str, wav_dir: Optional[str] = None):
+        self.items: List[Utterance] = []
+        base = wav_dir or os.path.join(os.path.dirname(gt_path), "aishell_S0764")
+        with open(gt_path, "r", encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split(maxsplit=1)
+                if len(parts) != 2:
+                    continue
+                utt, gt = parts
+                wav = utt if utt.endswith(".wav") else utt + ".wav"
+                self.items.append(Utterance(os.path.join(base, wav), gt))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self) -> Iterator[Utterance]:
+        return iter(self.items)
+
+
+class CommonVoiceDataset:
+    """CommonVoice TSV (path/sentence columns; reference test_wer.py:96-149)."""
+
+    def __init__(self, tsv_path: str, clips_dir: Optional[str] = None):
+        self.items: List[Utterance] = []
+        base = clips_dir or os.path.join(os.path.dirname(tsv_path), "clips")
+        with open(tsv_path, "r", encoding="utf-8") as f:
+            header = f.readline().rstrip("\n").split("\t")
+            try:
+                pi, si = header.index("path"), header.index("sentence")
+            except ValueError:
+                raise ValueError(f"TSV missing path/sentence columns: {header}")
+            for line in f:
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) <= max(pi, si):
+                    continue
+                self.items.append(Utterance(os.path.join(base, cols[pi]), cols[si]))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self) -> Iterator[Utterance]:
+        return iter(self.items)
+
+
+def edit_distance(ref: str, hyp: str) -> int:
+    """Levenshtein distance over characters (reference min_distance,
+    test_wer.py:209-235) with an O(min(m,n)) rolling row."""
+    if len(ref) < len(hyp):
+        ref, hyp = hyp, ref
+    if not hyp:
+        return len(ref)
+    prev = list(range(len(hyp) + 1))
+    for i, rc in enumerate(ref, 1):
+        cur = [i] + [0] * len(hyp)
+        for j, hc in enumerate(hyp, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (rc != hc))
+        prev = cur
+    return prev[-1]
+
+
+@dataclass
+class WerResult:
+    total_errors: int
+    total_chars: int
+    per_utt: List[Tuple[str, str, str, float]]  # (path, gt, hyp, wer)
+
+    @property
+    def wer(self) -> float:
+        return self.total_errors / max(self.total_chars, 1)
+
+
+def score_pairs(pairs: Sequence[Tuple[str, str, str]]) -> WerResult:
+    """pairs: (path, ground_truth, hypothesis). Char-WER after punctuation
+    strip, accumulated as sum(errors)/sum(chars) (test_wer.py:276-302)."""
+    total_err = 0
+    total_chars = 0
+    per_utt = []
+    for path, gt, hyp in pairs:
+        gt_n = remove_punctuation(gt)
+        hyp_n = remove_punctuation(hyp)
+        err = edit_distance(gt_n, hyp_n)
+        total_err += err
+        total_chars += len(gt_n)
+        per_utt.append((path, gt, hyp, err / max(len(gt_n), 1)))
+    return WerResult(total_err, total_chars, per_utt)
+
+
+def evaluate(
+    pipeline,
+    dataset,
+    batch_size: int = 8,
+    language: str = "zh",
+    limit: Optional[int] = None,
+    log_path: Optional[str] = None,
+) -> WerResult:
+    """Batched WER eval (the reference runs strictly one-by-one,
+    test_wer.py:276-297)."""
+    items = list(dataset)[:limit]
+    pairs: List[Tuple[str, str, str]] = []
+    handlers: List[logging.Handler] = []
+    if log_path:
+        h = logging.FileHandler(log_path)
+        logger.addHandler(h)
+        handlers.append(h)
+    try:
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            results = pipeline.transcribe_batch([u.path for u in chunk], language=language)
+            for u, r in zip(chunk, results):
+                pairs.append((u.path, u.transcript, r.text))
+                part = score_pairs(pairs[-1:])
+                logger.info(
+                    "(%d/%d) %s gt: %s predict: %s WER: %.2f%%",
+                    len(pairs), len(items), os.path.basename(u.path),
+                    u.transcript, r.text, 100 * part.wer,
+                )
+        res = score_pairs(pairs)
+        logger.info("Total WER: %.4f (%d/%d chars)", res.wer, res.total_errors, res.total_chars)
+        return res
+    finally:
+        for h in handlers:
+            logger.removeHandler(h)

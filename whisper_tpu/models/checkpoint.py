@@ -1,0 +1,286 @@
+"""Checkpoint loading: OpenAI Whisper ``.pt`` and HF Transformers weights.
+
+Replaces the reference's offline conversion toolchain (model_convert/
+export_onnx.py: PyTorch -> ONNX -> Pulsar2 .axmodel) with direct weight
+ingestion: torch/HF state dicts are remapped into this package's stacked
+param pytree at load time — no export step, no external compiler.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import PRESETS, WhisperConfig, get_config
+from .model import Params, sinusoids
+
+
+# ------------------------------------------------------------- file readers
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Minimal safetensors reader (header JSON + raw buffer); no deps."""
+    _DTYPES = {
+        "F64": np.float64, "F32": np.float32, "F16": np.float16,
+        "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+        "U8": np.uint8, "BOOL": np.bool_,
+    }
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        body = f.read()
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        dt = meta["dtype"]
+        s, e = meta["data_offsets"]
+        raw = body[s:e]
+        if dt == "BF16":
+            u16 = np.frombuffer(raw, dtype=np.uint16)
+            arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        else:
+            arr = np.frombuffer(raw, dtype=_DTYPES[dt])
+        out[name] = arr.reshape(meta["shape"]).copy()
+    return out
+
+
+def load_torch_pt(path: str) -> Tuple[Dict[str, np.ndarray], Optional[dict]]:
+    """Load an OpenAI whisper ``.pt`` checkpoint -> (state dict, dims dict)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    dims = None
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        dims = ckpt.get("dims")
+        sd = ckpt["model_state_dict"]
+    else:
+        sd = ckpt
+    return {k: v.float().numpy() for k, v in sd.items()}, dims
+
+
+# ------------------------------------------------------------- converters
+def _stack(arrs) -> np.ndarray:
+    return np.stack([np.asarray(a, dtype=np.float32) for a in arrs], axis=0)
+
+
+def from_openai_state_dict(sd: Dict[str, np.ndarray], cfg: WhisperConfig) -> Params:
+    """OpenAI whisper naming (encoder.blocks.N.attn.query.weight, ...)."""
+
+    def lin_w(name):  # torch Linear stores (out, in); we use (in, out)
+        return np.asarray(sd[name], dtype=np.float32).T
+
+    def get(name):
+        return np.asarray(sd[name], dtype=np.float32)
+
+    def attn(prefix, L, cross=False):
+        stem = "cross_attn" if cross else "attn"
+        return {
+            "wq": _stack(lin_w(f"{prefix}.{i}.{stem}.query.weight") for i in range(L)),
+            "bq": _stack(get(f"{prefix}.{i}.{stem}.query.bias") for i in range(L)),
+            "wk": _stack(lin_w(f"{prefix}.{i}.{stem}.key.weight") for i in range(L)),
+            "wv": _stack(lin_w(f"{prefix}.{i}.{stem}.value.weight") for i in range(L)),
+            "bv": _stack(get(f"{prefix}.{i}.{stem}.value.bias") for i in range(L)),
+            "wo": _stack(lin_w(f"{prefix}.{i}.{stem}.out.weight") for i in range(L)),
+            "bo": _stack(get(f"{prefix}.{i}.{stem}.out.bias") for i in range(L)),
+        }
+
+    def stacked_ln(prefix, L, name):
+        return {
+            "g": _stack(get(f"{prefix}.{i}.{name}.weight") for i in range(L)),
+            "b": _stack(get(f"{prefix}.{i}.{name}.bias") for i in range(L)),
+        }
+
+    def mlp(prefix, L):
+        return {
+            "w1": _stack(lin_w(f"{prefix}.{i}.mlp.0.weight") for i in range(L)),
+            "b1": _stack(get(f"{prefix}.{i}.mlp.0.bias") for i in range(L)),
+            "w2": _stack(lin_w(f"{prefix}.{i}.mlp.2.weight") for i in range(L)),
+            "b2": _stack(get(f"{prefix}.{i}.mlp.2.bias") for i in range(L)),
+        }
+
+    La, Lt = cfg.n_audio_layer, cfg.n_text_layer
+    pos_enc = (
+        get("encoder.positional_embedding")
+        if "encoder.positional_embedding" in sd
+        else sinusoids(cfg.n_audio_ctx, cfg.n_audio_state)
+    )
+    encoder = {
+        # torch Conv1d weight (out, in, k) -> (k, in, out) WIO
+        "conv1": {"w": get("encoder.conv1.weight").transpose(2, 1, 0),
+                  "b": get("encoder.conv1.bias")},
+        "conv2": {"w": get("encoder.conv2.weight").transpose(2, 1, 0),
+                  "b": get("encoder.conv2.bias")},
+        "pos_emb": pos_enc,
+        "blocks": {
+            "attn_ln": stacked_ln("encoder.blocks", La, "attn_ln"),
+            "attn": attn("encoder.blocks", La),
+            "mlp_ln": stacked_ln("encoder.blocks", La, "mlp_ln"),
+            "mlp": mlp("encoder.blocks", La),
+        },
+        "ln_post": {"g": get("encoder.ln_post.weight"), "b": get("encoder.ln_post.bias")},
+    }
+    decoder = {
+        "tok_emb": get("decoder.token_embedding.weight"),
+        "pos_emb": get("decoder.positional_embedding"),
+        "blocks": {
+            "attn_ln": stacked_ln("decoder.blocks", Lt, "attn_ln"),
+            "attn": attn("decoder.blocks", Lt),
+            "cross_ln": stacked_ln("decoder.blocks", Lt, "cross_attn_ln"),
+            "cross": attn("decoder.blocks", Lt, cross=True),
+            "mlp_ln": stacked_ln("decoder.blocks", Lt, "mlp_ln"),
+            "mlp": mlp("decoder.blocks", Lt),
+        },
+        "ln": {"g": get("decoder.ln.weight"), "b": get("decoder.ln.bias")},
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def from_hf_state_dict(sd: Dict[str, np.ndarray], cfg: WhisperConfig) -> Params:
+    """HF Transformers naming (model.encoder.layers.N.self_attn.q_proj...)."""
+    # tolerate both "model.encoder..." and "encoder..." prefixes
+    if not any(k.startswith("model.") for k in sd) and "encoder.conv1.weight" in sd:
+        sd = {f"model.{k}": v for k, v in sd.items()}
+
+    def lin_w(name):
+        return np.asarray(sd[name], dtype=np.float32).T
+
+    def get(name):
+        return np.asarray(sd[name], dtype=np.float32)
+
+    def attn(prefix, L, stem):
+        return {
+            "wq": _stack(lin_w(f"{prefix}.{i}.{stem}.q_proj.weight") for i in range(L)),
+            "bq": _stack(get(f"{prefix}.{i}.{stem}.q_proj.bias") for i in range(L)),
+            "wk": _stack(lin_w(f"{prefix}.{i}.{stem}.k_proj.weight") for i in range(L)),
+            "wv": _stack(lin_w(f"{prefix}.{i}.{stem}.v_proj.weight") for i in range(L)),
+            "bv": _stack(get(f"{prefix}.{i}.{stem}.v_proj.bias") for i in range(L)),
+            "wo": _stack(lin_w(f"{prefix}.{i}.{stem}.out_proj.weight") for i in range(L)),
+            "bo": _stack(get(f"{prefix}.{i}.{stem}.out_proj.bias") for i in range(L)),
+        }
+
+    def stacked_ln(prefix, L, name):
+        return {
+            "g": _stack(get(f"{prefix}.{i}.{name}.weight") for i in range(L)),
+            "b": _stack(get(f"{prefix}.{i}.{name}.bias") for i in range(L)),
+        }
+
+    def mlp(prefix, L):
+        return {
+            "w1": _stack(lin_w(f"{prefix}.{i}.fc1.weight") for i in range(L)),
+            "b1": _stack(get(f"{prefix}.{i}.fc1.bias") for i in range(L)),
+            "w2": _stack(lin_w(f"{prefix}.{i}.fc2.weight") for i in range(L)),
+            "b2": _stack(get(f"{prefix}.{i}.fc2.bias") for i in range(L)),
+        }
+
+    La, Lt = cfg.n_audio_layer, cfg.n_text_layer
+    ep = "model.encoder.layers"
+    dp = "model.decoder.layers"
+    encoder = {
+        "conv1": {"w": get("model.encoder.conv1.weight").transpose(2, 1, 0),
+                  "b": get("model.encoder.conv1.bias")},
+        "conv2": {"w": get("model.encoder.conv2.weight").transpose(2, 1, 0),
+                  "b": get("model.encoder.conv2.bias")},
+        "pos_emb": get("model.encoder.embed_positions.weight")
+        if "model.encoder.embed_positions.weight" in sd
+        else sinusoids(cfg.n_audio_ctx, cfg.n_audio_state),
+        "blocks": {
+            "attn_ln": stacked_ln(ep, La, "self_attn_layer_norm"),
+            "attn": attn(ep, La, "self_attn"),
+            "mlp_ln": stacked_ln(ep, La, "final_layer_norm"),
+            "mlp": mlp(ep, La),
+        },
+        "ln_post": {"g": get("model.encoder.layer_norm.weight"),
+                    "b": get("model.encoder.layer_norm.bias")},
+    }
+    decoder = {
+        "tok_emb": get("model.decoder.embed_tokens.weight"),
+        "pos_emb": get("model.decoder.embed_positions.weight"),
+        "blocks": {
+            "attn_ln": stacked_ln(dp, Lt, "self_attn_layer_norm"),
+            "attn": attn(dp, Lt, "self_attn"),
+            "cross_ln": stacked_ln(dp, Lt, "encoder_attn_layer_norm"),
+            "cross": attn(dp, Lt, "encoder_attn"),
+            "mlp_ln": stacked_ln(dp, Lt, "final_layer_norm"),
+            "mlp": mlp(dp, Lt),
+        },
+        "ln": {"g": get("model.decoder.layer_norm.weight"),
+               "b": get("model.decoder.layer_norm.bias")},
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# ------------------------------------------------------------- entry point
+def _dims_to_config(dims: dict, name: str = "custom") -> WhisperConfig:
+    num_languages = dims.get("n_vocab", 51865) - 51765  # 51865->99, 51866->100
+    return WhisperConfig(
+        name=name,
+        n_mels=dims["n_mels"],
+        n_audio_ctx=dims["n_audio_ctx"],
+        n_audio_state=dims["n_audio_state"],
+        n_audio_head=dims["n_audio_head"],
+        n_audio_layer=dims["n_audio_layer"],
+        n_vocab=dims["n_vocab"],
+        n_text_ctx=dims["n_text_ctx"],
+        n_text_state=dims["n_text_state"],
+        n_text_head=dims["n_text_head"],
+        n_text_layer=dims["n_text_layer"],
+        num_languages=num_languages,
+    )
+
+
+def load_checkpoint(path: str, size: Optional[str] = None) -> Tuple[Params, WhisperConfig]:
+    """Load weights from a file or directory.
+
+    Accepts: OpenAI ``{size}.pt``; an HF model dir (config.json +
+    model.safetensors / pytorch_model.bin); a bare ``.safetensors`` file
+    (requires ``size``).
+    """
+    if os.path.isdir(path):
+        cfg_file = os.path.join(path, "config.json")
+        hf_cfg = json.load(open(cfg_file)) if os.path.exists(cfg_file) else {}
+        cfg = WhisperConfig(
+            name=size or os.path.basename(path.rstrip("/")),
+            n_mels=hf_cfg.get("num_mel_bins", 80),
+            n_audio_state=hf_cfg.get("d_model", 384),
+            n_audio_head=hf_cfg.get("encoder_attention_heads", 6),
+            n_audio_layer=hf_cfg.get("encoder_layers", 4),
+            n_vocab=hf_cfg.get("vocab_size", 51865),
+            n_text_ctx=hf_cfg.get("max_target_positions", 448),
+            n_text_state=hf_cfg.get("d_model", 384),
+            n_text_head=hf_cfg.get("decoder_attention_heads", 6),
+            n_text_layer=hf_cfg.get("decoder_layers", 4),
+            num_languages=hf_cfg.get("vocab_size", 51865) - 51765,
+        )
+        st = os.path.join(path, "model.safetensors")
+        pt = os.path.join(path, "pytorch_model.bin")
+        if os.path.exists(st):
+            sd = load_safetensors(st)
+        elif os.path.exists(pt):
+            import torch
+
+            sd = {k: v.float().numpy() for k, v in torch.load(pt, map_location="cpu").items()}
+        else:
+            raise FileNotFoundError(f"no weights found in {path}")
+        return from_hf_state_dict(sd, cfg), cfg
+
+    if path.endswith(".safetensors"):
+        if size is None:
+            raise ValueError("bare .safetensors needs size=")
+        cfg = get_config(size)
+        sd = load_safetensors(path)
+        is_hf = any("q_proj" in k for k in sd)
+        return (from_hf_state_dict if is_hf else from_openai_state_dict)(sd, cfg), cfg
+
+    sd, dims = load_torch_pt(path)
+    if dims is not None:
+        cfg = _dims_to_config(dict(dims.__dict__) if hasattr(dims, "__dict__") else dict(dims),
+                              name=size or os.path.basename(path).split(".")[0])
+    else:
+        if size is None:
+            raise ValueError("checkpoint has no dims; pass size=")
+        cfg = get_config(size)
+    is_hf = any("q_proj" in k for k in sd)
+    return (from_hf_state_dict if is_hf else from_openai_state_dict)(sd, cfg), cfg

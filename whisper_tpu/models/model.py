@@ -1,0 +1,327 @@
+"""Whisper encoder/decoder as pure JAX functions over param pytrees.
+
+Architecture is OpenAI Whisper (conv stem + pre-LN transformer encoder;
+decoder with self + cross attention, tied embedding logits). The reference
+ships this split across two opaque quantized graphs
+(model_convert/export_onnx.py:187-213 encoder, :302-387 decoder step); here it
+is a single functional model:
+
+- per-layer params are STACKED along a leading layer axis and iterated with
+  ``lax.scan`` — one compiled block body regardless of depth;
+- cross-attention K/V are computed once per utterance from the encoder output
+  (the reference bakes these projections into its encoder graph,
+  export_onnx.py:205-213) and stay in HBM;
+- the decoder processes any number of positions per call against a
+  fixed-shape KV cache updated in place via ``dynamic_update_slice`` — the
+  reference instead round-trips the whole 448-slot cache through the host
+  every token (python/whisper.py:230-231, cpp/src/Whisper.cpp:307-342);
+- matmuls run in a configurable compute dtype (bf16 on TPU) while layernorm,
+  softmax and the final logits stay fp32 — the same "high-precision islands"
+  policy the reference's quantizer needed for WER parity
+  (model_convert/config_whisper_decoder_u16.json:47-63).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig
+
+Params = Dict[str, Any]
+
+
+# ------------------------------------------------------------------ helpers
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """OpenAI Whisper's sinusoidal positional embedding for the encoder."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """fp32 LayerNorm island; returns x's original dtype."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(orig)
+
+
+def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
+    y = jnp.einsum("...d,de->...e", x.astype(dtype), w.astype(dtype),
+                   preferred_element_type=dtype)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """(B, T, D) -> (B, H, T, dh)"""
+    B, T, D = x.shape
+    return x.reshape(B, T, n_head, D // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, dh) -> (B, T, D)"""
+    B, H, T, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+
+
+def attention(
+    q: jnp.ndarray,  # (B, H, Tq, dh)
+    k: jnp.ndarray,  # (B, H, Tk, dh)
+    v: jnp.ndarray,  # (B, H, Tk, dh)
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, Tq, Tk); True = visible
+) -> jnp.ndarray:
+    """Scaled dot-product attention; fp32 softmax island."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v, preferred_element_type=v.dtype)
+    return out
+
+
+# ------------------------------------------------------------------ encoder
+def encoder_forward(
+    params: Params,
+    mel: jnp.ndarray,  # (B, n_mels, 3000)
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Conv stem + transformer encoder -> audio features (B, 1500, D) fp32."""
+    enc = params["encoder"]
+    dt = compute_dtype
+    x = mel.astype(dt).transpose(0, 2, 1)  # (B, 3000, n_mels) NWC
+
+    def conv1d(x, w, b, stride):
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(dt), window_strides=(stride,), padding=[(1, 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"), preferred_element_type=dt,
+        )
+        return y + b.astype(dt)
+
+    x = jax.nn.gelu(conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
+    x = jax.nn.gelu(conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
+    x = x + enc["pos_emb"][: x.shape[1]].astype(dt)
+
+    n_head = cfg.n_audio_head
+
+    def block(x, p):
+        h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
+        q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+        k = _linear(h, p["attn"]["wk"], None, dt)
+        v = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        o = attention(_split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head))
+        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+
+        h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
+        h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
+        x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    x = layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
+    return x.astype(jnp.float32)
+
+
+def compute_cross_kv(
+    params: Params,
+    audio_features: jnp.ndarray,  # (B, Ta, D)
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-decoder-layer cross-attention K/V: each (L, B, Ta, D).
+
+    The reference computes these inside its encoder graph so they are done
+    once per utterance (export_onnx.py:205-213); we keep the same contract.
+    """
+    dec = params["decoder"]
+    dt = compute_dtype
+    x = audio_features.astype(dt)
+    ck = jnp.einsum("btd,lde->lbte", x, dec["blocks"]["cross"]["wk"].astype(dt),
+                    preferred_element_type=dt)
+    cv = jnp.einsum("btd,lde->lbte", x, dec["blocks"]["cross"]["wv"].astype(dt),
+                    preferred_element_type=dt)
+    cv = cv + dec["blocks"]["cross"]["bv"][:, None, None, :].astype(dt)
+    return ck, cv
+
+
+# ------------------------------------------------------------------ decoder
+class KVCache(NamedTuple):
+    """Self-attention KV cache, device-resident. k/v: (L, B, n_text_ctx, D)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> "KVCache":
+        shape = (cfg.n_text_layer, batch, cfg.n_text_ctx, cfg.n_text_state)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def decoder_forward(
+    params: Params,
+    tokens: jnp.ndarray,  # (B, S) int32
+    offset,  # scalar int: write/attend position of tokens[:, 0]
+    kv: KVCache,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],  # (L, B, Ta, D) each
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run S decoder positions starting at ``offset`` against the KV cache.
+
+    Covers both prefill (S = prompt length) and incremental decode (S = 1)
+    with one compiled body. Returns (logits (B, S, n_vocab) fp32, updated kv).
+    """
+    dec = params["decoder"]
+    dt = compute_dtype
+    B, S = tokens.shape
+    T = cfg.n_text_ctx
+    n_head = cfg.n_text_head
+
+    tok_emb = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dt)  # (B, S, D)
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], offset, S, axis=0).astype(dt)
+    x = tok_emb + pos[None]
+
+    # visibility mask over the full cache: key position t visible to query s
+    # iff t <= offset + s  (matches the reference's 1-D int mask semantics,
+    # python/whisper.py:202-211, extended to multi-position chunks)
+    key_pos = jnp.arange(T)[None, :]
+    q_pos = offset + jnp.arange(S)[:, None]
+    vis = key_pos <= q_pos  # (S, T) True = visible
+    vis = vis[None, None]  # (1, 1, S, T)
+
+    ck, cv = cross_kv
+
+    # scan over layers; cross-kv per layer rides along as scanned inputs
+    def scan_block(carry, inp):
+        p, p_ck_l, p_cv_l = inp
+        x, kcache, vcache, layer = carry
+        h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
+        q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+        k_new = _linear(h, p["attn"]["wk"], None, dt)
+        v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        kcache = jax.lax.dynamic_update_slice(
+            kcache, k_new.astype(kcache.dtype)[None], (layer, 0, offset, 0))
+        vcache = jax.lax.dynamic_update_slice(
+            vcache, v_new.astype(vcache.dtype)[None], (layer, 0, offset, 0))
+        k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
+        v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
+        o = attention(
+            _split_heads(q, n_head),
+            _split_heads(k_full, n_head),
+            _split_heads(v_full, n_head),
+            mask=vis,
+        )
+        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+
+        h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
+        q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
+        o = attention(
+            _split_heads(q, n_head),
+            _split_heads(p_ck_l.astype(dt), n_head),
+            _split_heads(p_cv_l.astype(dt), n_head),
+        )
+        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
+
+        h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
+        h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
+        x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
+        return (x, kcache, vcache, layer + 1), None
+
+    blocks = {k_: v_ for k_, v_ in dec["blocks"].items()}
+    (x, kc, vc, _), _ = jax.lax.scan(
+        scan_block, (x, kv.k, kv.v, 0), (blocks, ck, cv))
+
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    # tied-embedding logits, fp32 island (export_onnx.py:377-386)
+    logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
+                        dec["tok_emb"].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(kc, vc)
+
+
+# ------------------------------------------------------------------ init
+def _dense_init(key, d_in, d_out, scale=None):
+    scale = scale if scale is not None else d_in ** -0.5
+    return jax.random.normal(key, (d_in, d_out), jnp.float32) * scale
+
+
+def init_params(cfg: WhisperConfig, key: Optional[jax.Array] = None) -> Params:
+    """Random-init params with the real layout (tests/bench; real weights come
+    from whisper_tpu.models.checkpoint loaders)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 64))
+    D, Dt = cfg.n_audio_state, cfg.n_text_state
+    La, Lt = cfg.n_audio_layer, cfg.n_text_layer
+
+    def ln():
+        return {"g": jnp.ones((D,)), "b": jnp.zeros((D,))}
+
+    def ln_t():
+        return {"g": jnp.ones((Dt,)), "b": jnp.zeros((Dt,))}
+
+    def attn_params(k, L, d):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "wq": jax.random.normal(k1, (L, d, d)) * d ** -0.5,
+            "bq": jnp.zeros((L, d)),
+            "wk": jax.random.normal(k2, (L, d, d)) * d ** -0.5,
+            "wv": jax.random.normal(k3, (L, d, d)) * d ** -0.5,
+            "bv": jnp.zeros((L, d)),
+            "wo": jax.random.normal(k4, (L, d, d)) * d ** -0.5,
+            "bo": jnp.zeros((L, d)),
+        }
+
+    def mlp_params(k, L, d):
+        k1, k2 = jax.random.split(k)
+        return {
+            "w1": jax.random.normal(k1, (L, d, 4 * d)) * d ** -0.5,
+            "b1": jnp.zeros((L, 4 * d)),
+            "w2": jax.random.normal(k2, (L, 4 * d, d)) * (4 * d) ** -0.5,
+            "b2": jnp.zeros((L, d)),
+        }
+
+    def stacked_ln(L, d):
+        return {"g": jnp.ones((L, d)), "b": jnp.zeros((L, d))}
+
+    encoder = {
+        "conv1": {"w": jax.random.normal(next(ks), (3, cfg.n_mels, D)) * (3 * cfg.n_mels) ** -0.5,
+                  "b": jnp.zeros((D,))},
+        "conv2": {"w": jax.random.normal(next(ks), (3, D, D)) * (3 * D) ** -0.5,
+                  "b": jnp.zeros((D,))},
+        "pos_emb": jnp.asarray(sinusoids(cfg.n_audio_ctx, D)),
+        "blocks": {
+            "attn_ln": stacked_ln(La, D),
+            "attn": attn_params(next(ks), La, D),
+            "mlp_ln": stacked_ln(La, D),
+            "mlp": mlp_params(next(ks), La, D),
+        },
+        "ln_post": ln(),
+    }
+    decoder = {
+        "tok_emb": jax.random.normal(next(ks), (cfg.n_vocab, Dt)) * Dt ** -0.5,
+        "pos_emb": jax.random.normal(next(ks), (cfg.n_text_ctx, Dt)) * 0.01,
+        "blocks": {
+            "attn_ln": stacked_ln(Lt, Dt),
+            "attn": attn_params(next(ks), Lt, Dt),
+            "cross_ln": stacked_ln(Lt, Dt),
+            "cross": attn_params(next(ks), Lt, Dt),
+            "mlp_ln": stacked_ln(Lt, Dt),
+            "mlp": mlp_params(next(ks), Lt, Dt),
+        },
+        "ln": ln_t(),
+    }
+    return {"encoder": encoder, "decoder": decoder}

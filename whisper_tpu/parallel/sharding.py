@@ -1,0 +1,131 @@
+"""Multi-chip sharding: mesh construction + partition specs for DP/TP.
+
+The reference is strictly single-NPU batch-1 (SURVEY.md §2.4;
+AX_ENGINE_RunSync at cpp/src/ax_model_runner/ax_model_runner.cpp:102). Here
+scaling is first-class and TPU-idiomatic: a ``(data, model)``
+``jax.sharding.Mesh``, utterance batches sharded over ``data`` (DP across
+hosts/chips), and Whisper-Turbo weights tensor-sharded over ``model``
+(attention heads + MLP hidden + embedding width), with XLA's SPMD partitioner
+inserting the ICI collectives (psum for the contracted dims of ``wo``/``w2``
+and the tied-embedding logits).
+
+Cross-KV and the decode KV cache stay in HBM sharded the same way — the
+reference's AX_DMA_MemCopy plumbing (cpp/src/Whisper.cpp:260-288) dissolves
+into sharding annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import WhisperConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh. Defaults: all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model == n, f"{n_data}x{n_model} != {n} devices"
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _attn_specs() -> Dict[str, P]:
+    """Head-sharded attention: out-dims of q/k/v over MODEL, in-dim of o."""
+    return {
+        "wq": P(None, None, MODEL_AXIS),
+        "bq": P(None, MODEL_AXIS),
+        "wk": P(None, None, MODEL_AXIS),
+        "wv": P(None, None, MODEL_AXIS),
+        "bv": P(None, MODEL_AXIS),
+        "wo": P(None, MODEL_AXIS, None),
+        "bo": P(None, None),
+    }
+
+
+def _mlp_specs() -> Dict[str, P]:
+    return {
+        "w1": P(None, None, MODEL_AXIS),
+        "b1": P(None, MODEL_AXIS),
+        "w2": P(None, MODEL_AXIS, None),
+        "b2": P(None, None),
+    }
+
+
+def _ln_specs() -> Dict[str, P]:
+    return {"g": P(None, None), "b": P(None, None)}
+
+
+def param_specs(cfg: WhisperConfig) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models.model.init_params structure."""
+    return {
+        "encoder": {
+            "conv1": {"w": P(), "b": P()},
+            "conv2": {"w": P(), "b": P()},
+            "pos_emb": P(),
+            "blocks": {
+                "attn_ln": _ln_specs(),
+                "attn": _attn_specs(),
+                "mlp_ln": _ln_specs(),
+                "mlp": _mlp_specs(),
+            },
+            "ln_post": {"g": P(), "b": P()},
+        },
+        "decoder": {
+            # vocab-dim sharding keeps the (V, D) embedding distributed and
+            # turns the tied-logits matmul into an all-gather-free psum
+            "tok_emb": P(MODEL_AXIS, None),
+            "pos_emb": P(),
+            "blocks": {
+                "attn_ln": _ln_specs(),
+                "attn": _attn_specs(),
+                "cross_ln": _ln_specs(),
+                "cross": _attn_specs(),
+                "mlp_ln": _ln_specs(),
+                "mlp": _mlp_specs(),
+            },
+            "ln": {"g": P(), "b": P()},
+        },
+    }
+
+
+def data_specs() -> Dict[str, P]:
+    """Activation specs: batch over DATA, width over MODEL where it helps."""
+    return {
+        "mel": P(DATA_AXIS, None, None),
+        "tokens": P(DATA_AXIS, None),
+        "audio": P(DATA_AXIS, None, None),
+        "kv": P(None, DATA_AXIS, None, MODEL_AXIS),
+        "cross_kv": P(None, DATA_AXIS, None, MODEL_AXIS),
+        "logits": P(DATA_AXIS, None, None),
+    }
+
+
+def shard_params(params, mesh: Mesh, cfg: WhisperConfig):
+    """Place a param pytree onto the mesh per param_specs."""
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(mesh: Mesh, mel, tokens=None):
+    ds = data_specs()
+    mel = jax.device_put(mel, NamedSharding(mesh, ds["mel"]))
+    if tokens is None:
+        return mel
+    tokens = jax.device_put(tokens, NamedSharding(mesh, ds["tokens"]))
+    return mel, tokens

@@ -1,0 +1,155 @@
+"""End-to-end ASR pipeline: audio -> mel -> encode -> decode -> text.
+
+The TPU-native counterpart of the reference's ``class Whisper``
+(python/whisper.py:35-271, cpp/src/Whisper.{hpp,cpp}): model loading, feature
+extraction, generation and detokenization behind one object — but batched,
+jit-compiled end-to-end, and with auto language detection the reference only
+stubs (cpp/src/api/ax_whisper_api.h:40).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import N_SAMPLES, WhisperConfig, get_config
+from .decode import detect_language, extract_texts, greedy_decode
+from .models.checkpoint import load_checkpoint
+from .models.model import init_params
+from .ops.audio import load_audio
+from .ops.mel import log_mel_batch
+from .text import postprocess
+from .tokenizer import LANGUAGES, Tokenizer, get_tokenizer
+
+
+@dataclass
+class TranscribeResult:
+    text: str
+    language: str
+    tokens: np.ndarray
+    audio_seconds: float
+    wall_seconds: float
+
+    @property
+    def rtf(self) -> float:
+        """Real-time factor = wall / audio duration (python/whisper_cli.py:62-66)."""
+        return self.wall_seconds / max(self.audio_seconds, 1e-9)
+
+
+class WhisperPipeline:
+    """Load once, transcribe many — batched, single compiled decode program."""
+
+    def __init__(
+        self,
+        model: str = "tiny",
+        checkpoint: Optional[str] = None,
+        language: Optional[str] = "zh",
+        task: str = "transcribe",
+        compute_dtype: str = "float32",
+        vocab_path: Optional[str] = None,
+        seed: int = 0,
+        beam_size: int = 0,
+        timestamps: bool = False,
+        max_tokens: Optional[int] = None,
+    ):
+        assert task in ("transcribe", "translate")
+        self.task = task
+        self.language = language  # None => auto-detect per utterance
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.beam_size = beam_size
+        self.timestamps = timestamps
+        self.max_tokens = max_tokens
+
+        if checkpoint is not None:
+            self.params, self.cfg = load_checkpoint(checkpoint, size=model)
+        else:
+            self.cfg = get_config(model)
+            self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
+        if self.compute_dtype == jnp.bfloat16:
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                jax.tree.map(jnp.asarray, self.params),
+            )
+        else:
+            self.params = jax.tree.map(jnp.asarray, self.params)
+
+        self.tokenizer: Tokenizer = get_tokenizer(
+            self.cfg.is_multilingual,
+            num_languages=self.cfg.num_languages,
+            language=language,
+            task=task,
+            vocab_path=vocab_path,
+        )
+
+    # ------------------------------------------------------------------
+    def _prepare_batch(self, audios: Sequence[Union[str, bytes, np.ndarray]]):
+        waves = [load_audio(a) for a in audios]
+        lengths = np.array([min(len(w), N_SAMPLES) for w in waves], np.int32)
+        batch = np.zeros((len(waves), N_SAMPLES), np.float32)
+        for i, w in enumerate(waves):
+            batch[i, : lengths[i]] = w[: lengths[i]]
+        return jnp.asarray(batch), jnp.asarray(lengths), lengths / 16000.0
+
+    def _prompt(self, language: str) -> np.ndarray:
+        return np.asarray(self.cfg.sot_sequence(language, self.task), np.int32)
+
+    def transcribe_batch(
+        self,
+        audios: Sequence[Union[str, bytes, np.ndarray]],
+        language: Optional[str] = None,
+    ) -> List[TranscribeResult]:
+        """Batched transcription; one device program per (batch, prompt) shape."""
+        t0 = time.perf_counter()
+        language = language or self.language
+        batch, lengths, secs = self._prepare_batch(audios)
+        mel = log_mel_batch(batch, lengths, n_mels=self.cfg.n_mels)
+
+        if language is None:
+            lang_idx, _ = detect_language(self.params, mel, self.cfg, self.compute_dtype)
+            codes = list(LANGUAGES.keys())
+            langs = [codes[int(i)] for i in np.asarray(lang_idx)]
+        else:
+            langs = [language] * len(audios)
+
+        prompts = np.stack([self._prompt(l) for l in langs])
+        result = greedy_decode(
+            self.params,
+            mel,
+            jnp.asarray(prompts),
+            self.cfg,
+            compute_dtype=self.compute_dtype,
+            max_tokens=self.max_tokens,
+        )
+        texts = extract_texts(result, prompts.shape[1], self.tokenizer)
+        wall = time.perf_counter() - t0
+        toks = np.asarray(result.tokens)
+        lens = np.asarray(result.lengths)
+        out = []
+        for i, (text, lang) in enumerate(zip(texts, langs)):
+            out.append(
+                TranscribeResult(
+                    text=postprocess(text, lang),
+                    language=lang,
+                    tokens=toks[i, prompts.shape[1] : lens[i]],
+                    audio_seconds=float(secs[i]),
+                    wall_seconds=wall / len(audios),
+                )
+            )
+        return out
+
+    def transcribe(
+        self,
+        audio: Union[str, bytes, np.ndarray],
+        language: Optional[str] = None,
+    ) -> TranscribeResult:
+        return self.transcribe_batch([audio], language=language)[0]
+
+    # convenience alias matching the reference's ``Whisper.run``
+    def run(self, audio: Union[str, np.ndarray]) -> str:
+        return self.transcribe(audio).text

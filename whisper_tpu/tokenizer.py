@@ -1,0 +1,317 @@
+"""Whisper tokenizer (tiktoken BPE) for the TPU stack.
+
+Capability parity with the reference's python/whisper_tokenizer.py (itself a
+copy of OpenAI Whisper's public tokenizer): 99/100-language table, special
+tokens, sot-sequence construction, timestamp decode, non-speech token set,
+and word splitting for languages without spaces.
+
+The BPE rank table (``multilingual.tiktoken``/``gpt2.tiktoken``) is OpenAI's
+public vocab asset; it is located at runtime via :func:`find_vocab_file`
+(env var ``WHISPER_TPU_VOCAB``, ``assets/``, or an installed reference
+checkout) rather than vendored.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import string
+from dataclasses import dataclass, field
+from functools import cached_property, lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import tiktoken
+
+# Public OpenAI Whisper language table (order defines token ids:
+# <|en|> = sot+1, ... ; reference copy at python/whisper_tokenizer.py:10-111).
+LANGUAGES = {
+    "en": "english", "zh": "chinese", "de": "german", "es": "spanish",
+    "ru": "russian", "ko": "korean", "fr": "french", "ja": "japanese",
+    "pt": "portuguese", "tr": "turkish", "pl": "polish", "ca": "catalan",
+    "nl": "dutch", "ar": "arabic", "sv": "swedish", "it": "italian",
+    "id": "indonesian", "hi": "hindi", "fi": "finnish", "vi": "vietnamese",
+    "he": "hebrew", "uk": "ukrainian", "el": "greek", "ms": "malay",
+    "cs": "czech", "ro": "romanian", "da": "danish", "hu": "hungarian",
+    "ta": "tamil", "no": "norwegian", "th": "thai", "ur": "urdu",
+    "hr": "croatian", "bg": "bulgarian", "lt": "lithuanian", "la": "latin",
+    "mi": "maori", "ml": "malayalam", "cy": "welsh", "sk": "slovak",
+    "te": "telugu", "fa": "persian", "lv": "latvian", "bn": "bengali",
+    "sr": "serbian", "az": "azerbaijani", "sl": "slovenian", "kn": "kannada",
+    "et": "estonian", "mk": "macedonian", "br": "breton", "eu": "basque",
+    "is": "icelandic", "hy": "armenian", "ne": "nepali", "mn": "mongolian",
+    "bs": "bosnian", "kk": "kazakh", "sq": "albanian", "sw": "swahili",
+    "gl": "galician", "mr": "marathi", "pa": "punjabi", "si": "sinhala",
+    "km": "khmer", "sn": "shona", "yo": "yoruba", "so": "somali",
+    "af": "afrikaans", "oc": "occitan", "ka": "georgian", "be": "belarusian",
+    "tg": "tajik", "sd": "sindhi", "gu": "gujarati", "am": "amharic",
+    "yi": "yiddish", "lo": "lao", "uz": "uzbek", "fo": "faroese",
+    "ht": "haitian creole", "ps": "pashto", "tk": "turkmen", "nn": "nynorsk",
+    "mt": "maltese", "sa": "sanskrit", "lb": "luxembourgish", "my": "myanmar",
+    "bo": "tibetan", "tl": "tagalog", "mg": "malagasy", "as": "assamese",
+    "tt": "tatar", "haw": "hawaiian", "ln": "lingala", "ha": "hausa",
+    "ba": "bashkir", "jw": "javanese", "su": "sundanese", "yue": "cantonese",
+}
+
+TO_LANGUAGE_CODE = {name: code for code, name in LANGUAGES.items()}
+TO_LANGUAGE_CODE.update(
+    burmese="my", valencian="ca", flemish="nl", haitian="ht", letzeburgesch="lb",
+    pushto="ps", panjabi="pa", moldavian="ro", moldovan="ro", sinhalese="si",
+    castilian="es", mandarin="zh",
+)
+
+# GPT-2 byte-level BPE split pattern (public).
+_GPT2_PAT = (
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+)
+
+_VOCAB_SEARCH_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "assets", "multilingual.tiktoken"),
+    os.path.join(os.path.dirname(__file__), "assets", "multilingual.tiktoken"),
+    "/root/reference/python/assets/multilingual.tiktoken",
+)
+
+
+def find_vocab_file(explicit: Optional[str] = None) -> str:
+    """Locate the BPE rank table."""
+    candidates = [explicit, os.environ.get("WHISPER_TPU_VOCAB")] + list(_VOCAB_SEARCH_PATHS)
+    for c in candidates:
+        if c and os.path.exists(c):
+            return os.path.abspath(c)
+    raise FileNotFoundError(
+        "multilingual.tiktoken vocab not found; set WHISPER_TPU_VOCAB or run "
+        "scripts/fetch_assets.py"
+    )
+
+
+@lru_cache(maxsize=4)
+def _load_ranks(path: str) -> Dict[bytes, int]:
+    ranks = {}
+    with open(path, "rb") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            tok, rank = line.split()
+            ranks[base64.b64decode(tok)] = int(rank)
+    return ranks
+
+
+@lru_cache(maxsize=8)
+def get_encoding(vocab_path: str, num_languages: int = 99) -> tiktoken.Encoding:
+    ranks = _load_ranks(vocab_path)
+    n_vocab = len(ranks)
+    specials = ["<|endoftext|>", "<|startoftranscript|>"]
+    specials += [f"<|{code}|>" for code in list(LANGUAGES.keys())[:num_languages]]
+    specials += ["<|translate|>", "<|transcribe|>", "<|startoflm|>",
+                 "<|startofprev|>", "<|nospeech|>", "<|notimestamps|>"]
+    specials += [f"<|{i * 0.02:.2f}|>" for i in range(1501)]
+    special_tokens = {}
+    for tok in specials:
+        special_tokens[tok] = n_vocab
+        n_vocab += 1
+    return tiktoken.Encoding(
+        name=os.path.basename(vocab_path),
+        explicit_n_vocab=n_vocab,
+        pat_str=_GPT2_PAT,
+        mergeable_ranks=ranks,
+        special_tokens=special_tokens,
+    )
+
+
+@dataclass
+class Tokenizer:
+    """Whisper tokenizer with task/language context.
+
+    Mirrors the behavioral surface of the reference tokenizer dataclass
+    (python/whisper_tokenizer.py:131-327).
+    """
+
+    encoding: tiktoken.Encoding
+    num_languages: int = 99
+    language: Optional[str] = None
+    task: Optional[str] = None
+
+    def encode(self, text: str, **kw) -> List[int]:
+        return self.encoding.encode(text, **kw)
+
+    def decode(self, token_ids: Sequence[int], **kw) -> str:
+        ids = [int(t) for t in token_ids if int(t) < self.timestamp_begin]
+        return self.encoding.decode(ids, **kw)
+
+    def decode_with_timestamps(self, token_ids: Sequence[int], **kw) -> str:
+        parts: List[str] = []
+        run: List[int] = []
+        for t in token_ids:
+            t = int(t)
+            if t >= self.timestamp_begin:
+                if run:
+                    parts.append(self.encoding.decode(run, **kw))
+                    run = []
+                parts.append(f"<|{(t - self.timestamp_begin) * 0.02:.2f}|>")
+            else:
+                run.append(t)
+        if run:
+            parts.append(self.encoding.decode(run, **kw))
+        return "".join(parts)
+
+    # ---- special-token accessors ----
+    @cached_property
+    def eot(self) -> int:
+        return self.encoding.encode_single_token("<|endoftext|>")
+
+    @cached_property
+    def sot(self) -> int:
+        return self.encoding.encode_single_token("<|startoftranscript|>")
+
+    @cached_property
+    def transcribe(self) -> int:
+        return self.encoding.encode_single_token("<|transcribe|>")
+
+    @cached_property
+    def translate(self) -> int:
+        return self.encoding.encode_single_token("<|translate|>")
+
+    @cached_property
+    def sot_lm(self) -> int:
+        return self.encoding.encode_single_token("<|startoflm|>")
+
+    @cached_property
+    def sot_prev(self) -> int:
+        return self.encoding.encode_single_token("<|startofprev|>")
+
+    @cached_property
+    def no_speech(self) -> int:
+        return self.encoding.encode_single_token("<|nospeech|>")
+
+    @cached_property
+    def no_timestamps(self) -> int:
+        return self.encoding.encode_single_token("<|notimestamps|>")
+
+    @cached_property
+    def timestamp_begin(self) -> int:
+        return self.encoding.encode_single_token("<|0.00|>")
+
+    @cached_property
+    def language_token(self) -> int:
+        if self.language is None:
+            raise ValueError("tokenizer has no language set")
+        return self.to_language_token(self.language)
+
+    def to_language_token(self, language: str) -> int:
+        return self.encoding.encode_single_token(f"<|{language}|>")
+
+    @cached_property
+    def all_language_tokens(self) -> Tuple[int, ...]:
+        return tuple(
+            self.to_language_token(code)
+            for code in list(LANGUAGES.keys())[: self.num_languages]
+        )
+
+    @cached_property
+    def all_language_codes(self) -> Tuple[str, ...]:
+        return tuple(list(LANGUAGES.keys())[: self.num_languages])
+
+    @cached_property
+    def sot_sequence(self) -> Tuple[int, ...]:
+        seq = [self.sot]
+        if self.language is not None:
+            seq.append(self.language_token)
+        if self.task is not None:
+            seq.append(self.transcribe if self.task == "transcribe" else self.translate)
+        return tuple(seq)
+
+    @cached_property
+    def sot_sequence_including_notimestamps(self) -> Tuple[int, ...]:
+        return tuple(list(self.sot_sequence) + [self.no_timestamps])
+
+    @cached_property
+    def non_speech_tokens(self) -> Tuple[int, ...]:
+        """Tokens to suppress to avoid hallucinated non-speech annotations.
+
+        Same symbol list as the reference (python/whisper_tokenizer.py:241-275).
+        """
+        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+        symbols += "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
+        miscellaneous = set("♩♪♫♬♭♮♯")
+        result = {self.encoding.encode(" -")[0], self.encoding.encode(" '")[0]}
+        for symbol in symbols + list(miscellaneous):
+            for tokens in [self.encoding.encode(symbol), self.encoding.encode(" " + symbol)]:
+                if len(tokens) == 1 or symbol in miscellaneous:
+                    result.add(tokens[0])
+        return tuple(sorted(result))
+
+    # ---- word splitting (zh/ja/th/lo/my have no spaces) ----
+    def split_to_word_tokens(self, tokens: Sequence[int]):
+        if self.language in {"zh", "ja", "th", "lo", "my", "yue"}:
+            return self.split_tokens_on_unicode(tokens)
+        return self.split_tokens_on_spaces(tokens)
+
+    def split_tokens_on_unicode(self, tokens: Sequence[int]):
+        decoded_full = self.decode_with_timestamps(tokens)
+        replacement_char = "�"
+        words, word_tokens = [], []
+        current_tokens: List[int] = []
+        unicode_offset = 0
+        for token in tokens:
+            current_tokens.append(int(token))
+            decoded = self.decode_with_timestamps(current_tokens)
+            if (
+                replacement_char not in decoded
+                or decoded_full[unicode_offset + decoded.index(replacement_char)] == replacement_char
+            ):
+                words.append(decoded)
+                word_tokens.append(current_tokens)
+                current_tokens = []
+                unicode_offset += len(decoded)
+        return words, word_tokens
+
+    def split_tokens_on_spaces(self, tokens: Sequence[int]):
+        subwords, subword_tokens_list = self.split_tokens_on_unicode(tokens)
+        words, word_tokens = [], []
+        for subword, subword_tokens in zip(subwords, subword_tokens_list):
+            special = subword_tokens[0] >= self.eot
+            with_space = subword.startswith(" ")
+            punctuation = subword.strip() in string.punctuation
+            if special or with_space or punctuation or len(words) == 0:
+                words.append(subword)
+                word_tokens.append(subword_tokens)
+            else:
+                words[-1] = words[-1] + subword
+                word_tokens[-1].extend(subword_tokens)
+        return words, word_tokens
+
+
+def get_tokenizer(
+    multilingual: bool = True,
+    *,
+    num_languages: int = 99,
+    language: Optional[str] = None,
+    task: Optional[str] = None,
+    vocab_path: Optional[str] = None,
+) -> Tokenizer:
+    if language is not None:
+        language = language.lower()
+        if language not in LANGUAGES:
+            if language in TO_LANGUAGE_CODE:
+                language = TO_LANGUAGE_CODE[language]
+            else:
+                raise ValueError(f"unsupported language: {language}")
+    if not multilingual:
+        task = None
+        language = None
+    enc = get_encoding(find_vocab_file(vocab_path), num_languages)
+    return Tokenizer(encoding=enc, num_languages=num_languages, language=language, task=task)
+
+
+def load_id2token(tokens_txt: str) -> Dict[int, bytes]:
+    """Load a reference-format ``{name}-tokens.txt`` (base64-token␣id lines).
+
+    Offline fallback decode path, format per python/whisper.py:118-124.
+    """
+    out: Dict[int, bytes] = {}
+    with open(tokens_txt, "r") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            tok, idx = line.split()
+            out[int(idx)] = base64.b64decode(tok)
+    return out
