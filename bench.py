@@ -62,17 +62,20 @@ def main() -> int:
             compute_dtype=jnp.bfloat16,
             max_tokens=n_tokens,
         )
-        return res.tokens
+        # materialize on host: block_until_ready is unreliable on the axon
+        # tunnel platform, a device->host copy is not
+        return np.asarray(res.tokens), np.asarray(res.lengths)
 
     t0 = time.perf_counter()
-    run().block_until_ready()
+    toks, lens = run()
     compile_s = time.perf_counter() - t0
-    print(f"[bench] compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+    print(f"[bench] compile+first-run: {compile_s:.1f}s "
+          f"(gen lengths: {(lens - prompt.shape[1]).tolist()})", file=sys.stderr)
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        run().block_until_ready()
+        run()
         times.append(time.perf_counter() - t0)
     wall = min(times)
 

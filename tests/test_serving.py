@@ -1,0 +1,214 @@
+"""Serving tests: continuous-batching engine + HTTP protocol surface.
+
+The engine must match the offline greedy path bit-for-bit (same model, same
+rules) while admitting/harvesting requests mid-flight; the HTTP layer must
+speak both reference wire protocols (python multipart, C++ octet-stream).
+"""
+
+import json
+import struct
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_tpu.config import N_SAMPLES, WhisperConfig
+from whisper_tpu.decode import greedy_decode
+from whisper_tpu.models.model import init_params
+from whisper_tpu.ops.audio import write_wav
+from whisper_tpu.ops.mel import log_mel_batch
+from whisper_tpu.serving.engine import ContinuousBatchingEngine, Request
+from whisper_tpu.serving.server import make_server, parse_multipart
+
+NANO = WhisperConfig(
+    name="nano-srv",
+    n_mels=80,
+    n_audio_ctx=64,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=51865,
+    n_text_ctx=24,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+
+
+class IdTok:
+    """Tokenizer stand-in that emits ids as text (no vocab asset needed)."""
+
+    def decode(self, ids):
+        return " ".join(str(int(i)) for i in ids)
+
+    def decode_with_timestamps(self, ids):
+        return self.decode(ids)
+
+    non_speech_tokens = ()
+
+
+@pytest.fixture(scope="module")
+def nano_params():
+    return init_params(NANO)
+
+
+@pytest.fixture()
+def engine(nano_params):
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(),
+        max_slots=4,
+        compute_dtype=jnp.float32,
+        steps_per_sync=2,
+        max_tokens=12,
+        apply_filters=False,
+    ).start()
+    yield eng
+    eng.stop()
+
+
+def _audio(rng, seconds=1.0):
+    return (rng.standard_normal(int(16000 * seconds)) * 0.1).astype(np.float32)
+
+
+def test_engine_single_request(engine, rng):
+    res = engine.transcribe(_audio(rng), language="zh", timeout=60)
+    assert res["success"]
+    assert isinstance(res["text"], str)
+    assert res["audio_seconds"] == pytest.approx(1.0)
+    assert engine.stats.requests_total == 1
+
+
+def test_engine_matches_offline_greedy(engine, nano_params, rng):
+    """Continuous-batching decode == offline greedy_decode on the same input."""
+    wav = _audio(rng, 0.7)
+    res = engine.transcribe(wav, language="zh", timeout=60)
+    got_ids = [int(s) for s in res["text"].split()] if res["text"] else []
+
+    audio = np.zeros((1, N_SAMPLES), np.float32)
+    audio[0, : len(wav)] = wav
+    mel = log_mel_batch(jnp.asarray(audio), jnp.asarray([len(wav)], np.int32),
+                        n_mels=NANO.n_mels)[..., : 2 * NANO.n_audio_ctx]
+    prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")], jnp.int32)
+    ref = greedy_decode(nano_params, mel, prompt, NANO, max_tokens=12)
+    ref_ids = np.asarray(ref.tokens)[0, 4: np.asarray(ref.lengths)[0]].tolist()
+    assert got_ids == ref_ids
+
+
+def test_engine_concurrent_requests(engine, rng):
+    """More requests than slots; all must complete with per-request results."""
+    wavs = [_audio(rng, 0.5 + 0.2 * i) for i in range(7)]
+    futs = [engine.submit(Request(audio=w, language="zh")) for w in wavs]
+    results = [f.result(timeout=120) for f in futs]
+    assert all(r["success"] for r in results)
+    for w, r in zip(wavs, results):
+        assert r["audio_seconds"] == pytest.approx(len(w) / 16000)
+    assert engine.stats.requests_total >= 7
+
+
+def test_engine_staggered_admission(engine, rng):
+    """A request arriving mid-decode of another must still match offline."""
+    w1 = _audio(rng, 0.9)
+    f1 = engine.submit(Request(audio=w1, language="zh"))
+    time.sleep(0.05)  # let decoding of w1 start
+    w2 = _audio(rng, 0.4)
+    f2 = engine.submit(Request(audio=w2, language="zh"))
+    r1, r2 = f1.result(timeout=60), f2.result(timeout=60)
+
+    for w, r in ((w1, r1), (w2, r2)):
+        audio = np.zeros((1, N_SAMPLES), np.float32)
+        audio[0, : len(w)] = w
+        mel = log_mel_batch(jnp.asarray(audio), jnp.asarray([len(w)], np.int32),
+                            n_mels=NANO.n_mels)[..., : 2 * NANO.n_audio_ctx]
+        prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")], jnp.int32)
+        ref = greedy_decode(engine.params, mel, prompt, NANO,
+                            compute_dtype=jnp.float32, max_tokens=12)
+        ref_ids = np.asarray(ref.tokens)[0, 4: np.asarray(ref.lengths)[0]].tolist()
+        got = [int(s) for s in r["text"].split()] if r["text"] else []
+        assert got == ref_ids
+
+
+def test_multipart_parser():
+    boundary = "XBOUND"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="language"\r\n\r\n'
+        "en\r\n"
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="wav"; filename="a.wav"\r\n'
+        "Content-Type: audio/wav\r\n\r\n"
+    ).encode() + b"BINARY\x00DATA" + f"\r\n--{boundary}--\r\n".encode()
+    fields = parse_multipart(body, f'multipart/form-data; boundary={boundary}')
+    assert fields["language"] == "en"
+    assert fields["wav"] == b"BINARY\x00DATA"
+
+
+@pytest.fixture()
+def http_server(engine):
+    srv = make_server(engine, "127.0.0.1", 0, request_timeout_s=90)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def test_http_health_and_metrics(http_server):
+    with urllib.request.urlopen(f"{http_server}/health", timeout=10) as r:
+        assert json.load(r)["status"] == "healthy"
+    with urllib.request.urlopen(f"{http_server}/metrics", timeout=10) as r:
+        m = json.load(r)
+    assert "requests_total" in m and "rtf" in m
+
+
+def test_http_asr_octet_stream(http_server, rng):
+    """C++ reference protocol: raw f32le PCM body."""
+    wav = _audio(rng, 0.5)
+    req = urllib.request.Request(
+        f"{http_server}/asr", data=wav.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=90) as r:
+        res = json.load(r)
+    assert res["success"] is True
+    assert "text" in res
+
+
+def test_http_asr_multipart_wav(http_server, rng, tmp_path):
+    """Python reference protocol: multipart WAV upload."""
+    wav = _audio(rng, 0.5)
+    p = tmp_path / "u.wav"
+    write_wav(str(p), wav)
+    boundary = "WHISPERTPU"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="language"\r\n\r\nzh\r\n'
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="wav"; filename="u.wav"\r\n'
+        "Content-Type: audio/wav\r\n\r\n"
+    ).encode() + p.read_bytes() + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        f"{http_server}/asr", data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=90) as r:
+        res = json.load(r)
+    assert res["success"] is True
+
+
+def test_http_asr_bad_inputs(http_server):
+    # octet-stream with size % 4 != 0 -> 400 (C++ server parity)
+    req = urllib.request.Request(
+        f"{http_server}/asr", data=b"abc",
+        headers={"Content-Type": "application/octet-stream"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+    # garbage WAV -> 400
+    req = urllib.request.Request(
+        f"{http_server}/asr", data=b"not a wav at all",
+        headers={"Content-Type": "audio/wav"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400

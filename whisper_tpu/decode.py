@@ -32,15 +32,10 @@ class GreedyResult(NamedTuple):
     lengths: jnp.ndarray  # (B,) int32: index of first eot after prompt (= total length)
 
 
-def _suppress(logits: jnp.ndarray, suppress_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
-    if suppress_ids is None:
-        return logits
-    return logits.at[..., suppress_ids].set(-jnp.inf)
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens"),
+    static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
+                     "timestamps", "apply_filters"),
 )
 def greedy_decode(
     params: Params,
@@ -51,18 +46,31 @@ def greedy_decode(
     prompt_len: Optional[int] = None,
     max_tokens: Optional[int] = None,
     suppress_ids: Optional[jnp.ndarray] = None,
+    timestamps: bool = False,
+    apply_filters: bool = False,
 ) -> GreedyResult:
     """Encoder + prefill + greedy token loop in one compiled program.
 
     Matches the reference's decode semantics (greedy argmax, stop at eot or
     n_text_ctx, python/whisper.py:224-253) with batching the reference lacks
-    (batch hardcoded to 1 at python/whisper.py:192).
+    (batch hardcoded to 1 at python/whisper.py:192). With
+    ``apply_filters``/``timestamps`` the full OpenAI suppression/timestamp
+    grammar (whisper_tpu.sampling) runs on-device each step.
     """
+    from .sampling import RuleState, apply_rules
+
     B = mel.shape[0]
     P = prompt_len or prompt.shape[1]
     T = cfg.n_text_ctx
     limit = min(T, P + max_tokens) if max_tokens else T
     eot = cfg.eot
+    use_rules = apply_filters or timestamps or suppress_ids is not None
+
+    def filt(logits, state):
+        if not use_rules:
+            return logits
+        return apply_rules(logits, state, cfg, suppress_ids=suppress_ids,
+                           timestamps=timestamps)
 
     audio = encoder_forward(params, mel, cfg, compute_dtype)
     cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
@@ -73,28 +81,31 @@ def greedy_decode(
 
     # prefill all prompt positions in one pass
     logits, kv = decoder_forward(params, prompt, 0, kv, cross_kv, cfg, compute_dtype)
-    first = jnp.argmax(_suppress(logits[:, -1], suppress_ids), axis=-1).astype(jnp.int32)
+    rs = RuleState.create(B)
+    first = jnp.argmax(filt(logits[:, -1], rs), axis=-1).astype(jnp.int32)
+    rs = rs.advance(first, cfg.timestamp_begin)
     tokens = jax.lax.dynamic_update_slice(tokens, first[:, None], (0, P))
     done = first == eot
 
     def cond(state):
-        tokens, k, v, i, done = state
+        tokens, k, v, i, done, rs = state
         return jnp.logical_and(i < limit - 1, jnp.logical_not(jnp.all(done)))
 
     def body(state):
-        tokens, k, v, i, done = state
+        tokens, k, v, i, done, rs = state
         tok_i = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
         logits, new_kv = decoder_forward(
             params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype
         )
-        nxt = jnp.argmax(_suppress(logits[:, 0], suppress_ids), axis=-1).astype(jnp.int32)
+        nxt = jnp.argmax(filt(logits[:, 0], rs), axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eot, nxt)
+        rs = rs.advance(nxt, cfg.timestamp_begin)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
         done = jnp.logical_or(done, nxt == eot)
-        return tokens, new_kv.k, new_kv.v, i + 1, done
+        return tokens, new_kv.k, new_kv.v, i + 1, done, rs
 
-    tokens, _, _, final_i, done = jax.lax.while_loop(
-        cond, body, (tokens, kv.k, kv.v, jnp.int32(P), done)
+    tokens, _, _, final_i, done, _ = jax.lax.while_loop(
+        cond, body, (tokens, kv.k, kv.v, jnp.int32(P), done, rs)
     )
 
     is_eot = tokens == eot
@@ -130,12 +141,15 @@ def detect_language(
     return jnp.argmax(lang_logits, axis=-1), probs
 
 
-def extract_texts(result: GreedyResult, prompt_len: int, tokenizer) -> list:
+def extract_texts(result, prompt_len: int, tokenizer, timestamps: bool = False) -> list:
     """Host-side: token buffer -> list of decoded strings."""
     toks = np.asarray(result.tokens)
     lens = np.asarray(result.lengths)
     out = []
     for b in range(toks.shape[0]):
         ids = toks[b, prompt_len : lens[b]]
-        out.append(tokenizer.decode(ids).strip())
+        if timestamps:
+            out.append(tokenizer.decode_with_timestamps(ids).strip())
+        else:
+            out.append(tokenizer.decode(ids).strip())
     return out

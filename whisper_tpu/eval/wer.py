@@ -75,7 +75,15 @@ class CommonVoiceDataset:
 
 def edit_distance(ref: str, hyp: str) -> int:
     """Levenshtein distance over characters (reference min_distance,
-    test_wer.py:209-235) with an O(min(m,n)) rolling row."""
+    test_wer.py:209-235) with an O(min(m,n)) rolling row. Uses the native
+    C++ kernel when cpp/ is built."""
+    try:
+        from ..utils.native import edit_distance_native, load_native
+
+        if load_native() is not None:
+            return edit_distance_native(ref, hyp)
+    except Exception:
+        pass
     if len(ref) < len(hyp):
         ref, hyp = hyp, ref
     if not hyp:

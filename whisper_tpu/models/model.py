@@ -55,12 +55,35 @@ def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5
     return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(orig)
 
 
-def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
-    y = jnp.einsum("...d,de->...e", x.astype(dtype), w.astype(dtype),
-                   preferred_element_type=dtype)
+def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
+    from ..ops.quant import QTensor
+
+    if isinstance(w, QTensor):
+        # int8 weight read, cast fused into the matmul; per-out-channel scale
+        # applied to the (small) product — weight-only quantization
+        y = jnp.einsum("...d,de->...e", x.astype(dtype), w.q.astype(dtype),
+                       preferred_element_type=dtype)
+        y = y * w.s.astype(dtype).reshape(-1)
+    else:
+        y = jnp.einsum("...d,de->...e", x.astype(dtype), w.astype(dtype),
+                       preferred_element_type=dtype)
     if b is not None:
         y = y + b.astype(dtype)
     return y
+
+
+def cast_floating(params, dtype):
+    """Cast floating-point leaves to `dtype`; leave int8 QTensor payloads and
+    their fp32 scales untouched."""
+    from ..ops.quant import QTensor
+
+    def cast(x):
+        if isinstance(x, QTensor):
+            return x
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree.map(cast, params, is_leaf=lambda x: isinstance(x, QTensor))
 
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
@@ -146,13 +169,22 @@ def compute_cross_kv(
     The reference computes these inside its encoder graph so they are done
     once per utterance (export_onnx.py:205-213); we keep the same contract.
     """
+    from ..ops.quant import QTensor
+
     dec = params["decoder"]
     dt = compute_dtype
     x = audio_features.astype(dt)
-    ck = jnp.einsum("btd,lde->lbte", x, dec["blocks"]["cross"]["wk"].astype(dt),
-                    preferred_element_type=dt)
-    cv = jnp.einsum("btd,lde->lbte", x, dec["blocks"]["cross"]["wv"].astype(dt),
-                    preferred_element_type=dt)
+
+    def proj(w):
+        if isinstance(w, QTensor):
+            y = jnp.einsum("btd,lde->lbte", x, w.q.astype(dt),
+                           preferred_element_type=dt)
+            return y * w.s.astype(dt)[:, None, :, :]  # (L,1,d)->(L,1,1,d)
+        return jnp.einsum("btd,lde->lbte", x, w.astype(dt),
+                          preferred_element_type=dt)
+
+    ck = proj(dec["blocks"]["cross"]["wk"])
+    cv = proj(dec["blocks"]["cross"]["wv"])
     cv = cv + dec["blocks"]["cross"]["bv"][:, None, None, :].astype(dt)
     return ck, cv
 
@@ -250,6 +282,84 @@ def decoder_forward(
                         dec["tok_emb"].astype(jnp.float32),
                         preferred_element_type=jnp.float32)
     return logits, KVCache(kc, vc)
+
+
+def decoder_step_multipos(
+    params: Params,
+    tokens: jnp.ndarray,   # (B,) int32 — one token per stream
+    offsets: jnp.ndarray,  # (B,) int32 — per-stream write/attend position
+    kv: KVCache,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step where every stream sits at its own position.
+
+    This is the continuous-batching primitive: slots admitted at different
+    times decode together in a single program (the reference serializes whole
+    requests on the NPU instead — python/whisper_svr.py:87-88). Returns
+    (logits (B, n_vocab) fp32, updated kv).
+    """
+    dec = params["decoder"]
+    dt = compute_dtype
+    B = tokens.shape[0]
+    T = cfg.n_text_ctx
+    n_head = cfg.n_text_head
+    barange = jnp.arange(B)
+
+    tok_emb = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dt)     # (B, D)
+    pos = jnp.take(dec["pos_emb"], offsets, axis=0).astype(dt)        # (B, D)
+    x = (tok_emb + pos)[:, None, :]                                   # (B, 1, D)
+
+    key_pos = jnp.arange(T)[None, :]
+    vis = (key_pos <= offsets[:, None])[:, None, None, :]             # (B,1,1,T)
+
+    ck, cv = cross_kv
+
+    def scan_block(carry, inp):
+        p, p_ck_l, p_cv_l = inp
+        x, kcache, vcache, layer = carry
+        h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
+        q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+        k_new = _linear(h, p["attn"]["wk"], None, dt)
+        v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        # per-stream scatter: cache[layer, b, offsets[b], :] = new
+        kcache = kcache.at[layer, barange, offsets, :].set(
+            k_new[:, 0, :].astype(kcache.dtype))
+        vcache = vcache.at[layer, barange, offsets, :].set(
+            v_new[:, 0, :].astype(vcache.dtype))
+        k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
+        v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
+        o = attention(
+            _split_heads(q, n_head),
+            _split_heads(k_full, n_head),
+            _split_heads(v_full, n_head),
+            mask=vis,
+        )
+        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+
+        h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
+        q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
+        o = attention(
+            _split_heads(q, n_head),
+            _split_heads(p_ck_l.astype(dt), n_head),
+            _split_heads(p_cv_l.astype(dt), n_head),
+        )
+        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
+
+        h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
+        h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
+        x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
+        return (x, kcache, vcache, layer + 1), None
+
+    (x, kc, vc, _), _ = jax.lax.scan(
+        scan_block, (x, kv.k, kv.v, 0), (dec["blocks"], ck, cv))
+
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
+                        dec["tok_emb"].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return logits[:, 0], KVCache(kc, vc)
 
 
 # ------------------------------------------------------------------ init

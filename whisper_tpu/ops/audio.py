@@ -146,6 +146,16 @@ def load_audio(
     else:
         with open(source, "rb") as f:
             data = f.read()
+    try:
+        from ..utils.native import load_native, load_wav_native
+
+        if load_native() is not None:
+            samples, _ = load_wav_native(data, sample_rate)
+            return samples
+    except ValueError as e:
+        raise WavFormatError(str(e))
+    except Exception:
+        pass  # fall back to the numpy parser
     chans, rate = parse_wav(data)
     x = to_mono(chans)
     if rate != sample_rate:

@@ -57,6 +57,8 @@ class WhisperPipeline:
         beam_size: int = 0,
         timestamps: bool = False,
         max_tokens: Optional[int] = None,
+        apply_filters: bool = True,
+        quantize: bool = False,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -65,19 +67,20 @@ class WhisperPipeline:
         self.beam_size = beam_size
         self.timestamps = timestamps
         self.max_tokens = max_tokens
+        self.apply_filters = apply_filters
 
         if checkpoint is not None:
             self.params, self.cfg = load_checkpoint(checkpoint, size=model)
         else:
             self.cfg = get_config(model)
             self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
-        if self.compute_dtype == jnp.bfloat16:
-            self.params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                jax.tree.map(jnp.asarray, self.params),
-            )
-        else:
-            self.params = jax.tree.map(jnp.asarray, self.params)
+        if quantize:
+            from .ops.quant import quantize_params
+
+            self.params = quantize_params(self.params)
+        from .models.model import cast_floating
+
+        self.params = cast_floating(self.params, self.compute_dtype)
 
         self.tokenizer: Tokenizer = get_tokenizer(
             self.cfg.is_multilingual,
@@ -85,6 +88,11 @@ class WhisperPipeline:
             language=language,
             task=task,
             vocab_path=vocab_path,
+        )
+        from .sampling import build_suppress_ids
+
+        self._suppress_ids = (
+            build_suppress_ids(self.cfg, self.tokenizer) if apply_filters else None
         )
 
     # ------------------------------------------------------------------
@@ -118,15 +126,38 @@ class WhisperPipeline:
             langs = [language] * len(audios)
 
         prompts = np.stack([self._prompt(l) for l in langs])
-        result = greedy_decode(
-            self.params,
-            mel,
-            jnp.asarray(prompts),
-            self.cfg,
-            compute_dtype=self.compute_dtype,
-            max_tokens=self.max_tokens,
-        )
-        texts = extract_texts(result, prompts.shape[1], self.tokenizer)
+        if self.timestamps:
+            prompts = prompts[:, :-1]  # drop <|notimestamps|>
+        suppress = jnp.asarray(self._suppress_ids) if self._suppress_ids is not None else None
+        if self.beam_size and self.beam_size > 1:
+            from .beam import beam_search
+
+            result = beam_search(
+                self.params,
+                mel,
+                jnp.asarray(prompts),
+                self.cfg,
+                beam_size=self.beam_size,
+                compute_dtype=self.compute_dtype,
+                max_tokens=self.max_tokens,
+                suppress_ids=suppress,
+                timestamps=self.timestamps,
+                apply_filters=self.apply_filters,
+            )
+        else:
+            result = greedy_decode(
+                self.params,
+                mel,
+                jnp.asarray(prompts),
+                self.cfg,
+                compute_dtype=self.compute_dtype,
+                max_tokens=self.max_tokens,
+                suppress_ids=suppress,
+                timestamps=self.timestamps,
+                apply_filters=self.apply_filters,
+            )
+        texts = extract_texts(result, prompts.shape[1], self.tokenizer,
+                              timestamps=self.timestamps)
         wall = time.perf_counter() - t0
         toks = np.asarray(result.tokens)
         lens = np.asarray(result.lengths)

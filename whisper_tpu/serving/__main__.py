@@ -1,0 +1,65 @@
+"""Server entry point — counterpart of python/whisper_svr.py:99-108 and
+cpp/whisper_srv.cpp, with continuous batching.
+
+    python -m whisper_tpu.serving --model_type tiny --port 8000 --slots 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("whisper_tpu.serving")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--model_type", "-t", default="tiny")
+    p.add_argument("--checkpoint", "-p", default=None)
+    p.add_argument("--slots", type=int, default=8, help="max concurrent decodes")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--steps_per_sync", type=int, default=4)
+    p.add_argument("--max_tokens", type=int, default=None)
+    p.add_argument("--timestamps", action="store_true")
+    p.add_argument("--timeout", type=float, default=300.0)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..config import get_config
+    from ..models.checkpoint import load_checkpoint
+    from ..models.model import init_params
+    from ..tokenizer import get_tokenizer
+    from .engine import ContinuousBatchingEngine
+    from .server import make_server
+
+    if args.checkpoint:
+        params, cfg = load_checkpoint(args.checkpoint, size=args.model_type)
+    else:
+        cfg = get_config(args.model_type)
+        params = init_params(cfg)
+    tok = get_tokenizer(cfg.is_multilingual, num_languages=cfg.num_languages)
+
+    engine = ContinuousBatchingEngine(
+        params, cfg, tok,
+        max_slots=args.slots,
+        compute_dtype=jnp.dtype(args.dtype),
+        steps_per_sync=args.steps_per_sync,
+        max_tokens=args.max_tokens,
+        timestamps=args.timestamps,
+    ).start()
+
+    srv = make_server(engine, args.host, args.port, request_timeout_s=args.timeout)
+    print(f"whisper_tpu server on {args.host}:{args.port} "
+          f"(model={cfg.name}, slots={args.slots})", file=sys.stderr)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,383 @@
+"""Continuous-batching inference engine.
+
+The reference server holds one model and serializes whole requests on the
+NPU (python/whisper_svr.py:87-88; C++ server likewise, single Whisper
+instance). This engine keeps a fixed pool of B_max decode slots on device:
+
+- new requests are admitted between decode iterations: their mel/encoder/
+  prompt-prefill runs as a bucketed batch, and the resulting cross-KV +
+  self-KV are scattered into free slots;
+- every iteration advances ALL active slots one token with a single jitted
+  multi-position decode step (models.model.decoder_step_multipos) — slots
+  admitted at different times decode together;
+- finished slots (eot or ctx limit) are harvested, detokenized, and freed
+  without stopping the loop.
+
+All state (KV caches, cross-KV, token buffers, rule state) is device-
+resident; the host only sees per-iteration done flags and final tokens.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import N_SAMPLES, WhisperConfig
+from ..models.model import (
+    KVCache,
+    compute_cross_kv,
+    decoder_forward,
+    decoder_step_multipos,
+    encoder_forward,
+)
+from ..ops.mel import log_mel_batch
+from ..sampling import RuleState, apply_rules
+from ..text import postprocess
+
+
+@dataclass
+class Request:
+    audio: np.ndarray          # mono f32 @16k
+    language: str = "zh"
+    task: str = "transcribe"
+    future: Future = field(default_factory=Future)
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class EngineStats:
+    requests_total: int = 0
+    tokens_total: int = 0
+    audio_seconds_total: float = 0.0
+    busy_seconds_total: float = 0.0
+    queue_depth: int = 0
+    active_slots: int = 0
+
+    def snapshot(self) -> dict:
+        d = dict(self.__dict__)
+        busy = max(self.busy_seconds_total, 1e-9)
+        d["audio_seconds_per_second"] = self.audio_seconds_total / busy
+        d["rtf"] = busy / max(self.audio_seconds_total, 1e-9)
+        return d
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over one model."""
+
+    def __init__(
+        self,
+        params,
+        cfg: WhisperConfig,
+        tokenizer,
+        max_slots: int = 8,
+        compute_dtype=jnp.bfloat16,
+        steps_per_sync: int = 4,
+        prefill_buckets: Sequence[int] = (1, 2, 4, 8),
+        max_tokens: Optional[int] = None,
+        apply_filters: bool = True,
+        timestamps: bool = False,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.dt = compute_dtype
+        self.B = max_slots
+        self.steps_per_sync = steps_per_sync
+        self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max_slots) or (max_slots,)
+        self.max_tokens = max_tokens
+        self.apply_filters = apply_filters
+        self.timestamps = timestamps
+
+        from ..models.model import cast_floating
+
+        self.params = cast_floating(params, compute_dtype)
+        from ..sampling import build_suppress_ids
+
+        self._suppress = (
+            jnp.asarray(build_suppress_ids(cfg, tokenizer)) if apply_filters else None
+        )
+
+        T = cfg.n_text_ctx
+        L, D = cfg.n_text_layer, cfg.n_text_state
+        Ta = cfg.n_audio_ctx
+        B = max_slots
+        # device-resident slot state
+        self.kv = KVCache.create(cfg, B, dtype=compute_dtype)
+        self.ckv_k = jnp.zeros((L, B, Ta, D), compute_dtype)
+        self.ckv_v = jnp.zeros((L, B, Ta, D), compute_dtype)
+        self.tokens = jnp.full((B, T), cfg.eot, jnp.int32)
+        self.offsets = jnp.zeros((B,), jnp.int32)   # next write position
+        self.active = jnp.zeros((B,), bool)
+        self.done = jnp.zeros((B,), bool)
+        self.rs = RuleState.create(B)
+        self.limit = jnp.full((B,), T, jnp.int32)
+
+        # host-side slot bookkeeping
+        self._slot_req: List[Optional[Request]] = [None] * B
+        self._slot_prompt_len: List[int] = [0] * B
+
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self.stats = EngineStats()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._jit_cache: Dict[int, object] = {}
+
+    # ------------------------------------------------------------- API
+    def submit(self, req: Request) -> Future:
+        self._queue.put(req)
+        self.stats.queue_depth = self._queue.qsize()
+        return req.future
+
+    def transcribe(self, audio: np.ndarray, language: str = "zh",
+                   task: str = "transcribe", timeout: Optional[float] = 120.0) -> dict:
+        fut = self.submit(Request(audio=audio, language=language, task=task))
+        return fut.result(timeout=timeout)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True, name="cb-engine")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------- jitted pieces
+    @functools.cached_property
+    def _step_fn(self):
+        cfg, dt = self.cfg, self.dt
+        suppress = self._suppress
+        timestamps = self.timestamps
+        use_rules = self.apply_filters or timestamps or suppress is not None
+
+        def steps(params, tokens, offsets, active, done, limit, rs,
+                  kv_k, kv_v, ckv_k, ckv_v, n_steps):
+            def one(carry, _):
+                tokens, offsets, done, rs, kv_k, kv_v = carry
+                cur = jnp.take_along_axis(tokens, jnp.maximum(offsets - 1, 0)[:, None],
+                                          axis=1)[:, 0]
+                logits, kv = decoder_step_multipos(
+                    params, cur, offsets - 1, KVCache(kv_k, kv_v),
+                    (ckv_k, ckv_v), cfg, dt)
+                if use_rules:
+                    logits = apply_rules(logits, rs, cfg, suppress_ids=suppress,
+                                         timestamps=timestamps)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                step_ok = active & ~done
+                nxt = jnp.where(step_ok, nxt, cfg.eot)
+                rs = RuleState(*[jnp.where(step_ok, n, o) for n, o in
+                                 zip(rs.advance(nxt, cfg.timestamp_begin), rs)])
+                tokens = jnp.where(
+                    (jnp.arange(tokens.shape[1])[None, :] == offsets[:, None]) &
+                    step_ok[:, None],
+                    nxt[:, None], tokens)
+                new_done = done | (step_ok & ((nxt == cfg.eot) | (offsets + 1 >= limit)))
+                offsets = jnp.where(step_ok, offsets + 1, offsets)
+                return (tokens, offsets, new_done, rs, kv.k, kv.v), None
+
+            (tokens, offsets, done, rs, kv_k, kv_v), _ = jax.lax.scan(
+                one, (tokens, offsets, done, rs, kv_k, kv_v), None, length=n_steps)
+            return tokens, offsets, done, rs, kv_k, kv_v
+
+        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(1, 6, 7, 8))
+
+    @functools.cached_property
+    def _prefill_fn(self):
+        cfg, dt = self.cfg, self.dt
+
+        def prefill(params, mel, lengths, prompt):
+            mel_feat = log_mel_batch(mel, lengths, n_mels=cfg.n_mels)
+            mel_feat = mel_feat[..., : 2 * cfg.n_audio_ctx]
+            audio = encoder_forward(params, mel_feat, cfg, dt)
+            ckv = compute_cross_kv(params, audio, cfg, dt)
+            kv = KVCache.create(cfg, mel.shape[0], dtype=dt)
+            logits, kv = decoder_forward(params, prompt, 0, kv, ckv, cfg, dt)
+            return logits[:, -1], kv.k, kv.v, ckv[0], ckv[1]
+
+        return jax.jit(prefill)
+
+    @functools.cached_property
+    def _admit_fn(self):
+        """Scatter prefilled newcomer state into slots."""
+
+        def admit(slot_idx, src_logits, src_kvk, src_kvv, src_ck, src_cv,
+                  first_tok, prompt_len, lim,
+                  tokens, offsets, active, done, limit, rs,
+                  kv_k, kv_v, ckv_k, ckv_v, prompt, n_valid):
+            # slot_idx: (Bn,) target slots; entries >= B are padding (dropped)
+            B = tokens.shape[0]
+            T = tokens.shape[1]
+            Bn = slot_idx.shape[0]
+            ok = (jnp.arange(Bn) < n_valid)
+            safe = jnp.where(ok, slot_idx, B)  # out-of-range scatters drop
+
+            kv_k = kv_k.at[:, safe].set(src_kvk, mode="drop")
+            kv_v = kv_v.at[:, safe].set(src_kvv, mode="drop")
+            ckv_k = ckv_k.at[:, safe].set(src_ck, mode="drop")
+            ckv_v = ckv_v.at[:, safe].set(src_cv, mode="drop")
+
+            row = jnp.full((Bn, T), self.cfg.eot, jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, prompt, (0, 0))
+            row = row.at[jnp.arange(Bn), prompt_len].set(first_tok)
+            tokens = tokens.at[safe].set(row, mode="drop")
+
+            offsets = offsets.at[safe].set(prompt_len + 1, mode="drop")
+            active = active.at[safe].set(True, mode="drop")
+            first_eot = first_tok == self.cfg.eot
+            done = done.at[safe].set(first_eot, mode="drop")
+            limit = limit.at[safe].set(lim, mode="drop")
+            rs = RuleState(
+                last=rs.last.at[safe].set(first_tok, mode="drop"),
+                penult=rs.penult.at[safe].set(-1, mode="drop"),
+                max_ts=rs.max_ts.at[safe].set(
+                    jnp.where(first_tok >= self.cfg.timestamp_begin, first_tok, 0),
+                    mode="drop"),
+                n_sampled=rs.n_sampled.at[safe].set(1, mode="drop"),
+            )
+            return tokens, offsets, active, done, limit, rs, kv_k, kv_v, ckv_k, ckv_v
+
+        return jax.jit(admit, donate_argnums=(9, 10, 11, 12, 13, 15, 16, 17, 18))
+
+    # ------------------------------------------------------------- worker loop
+    def _free_slots(self) -> List[int]:
+        return [i for i in range(self.B) if self._slot_req[i] is None]
+
+    def _admit_new(self):
+        free = self._free_slots()
+        newcomers: List[Request] = []
+        while free[len(newcomers):] and not self._queue.empty():
+            try:
+                newcomers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+            if len(newcomers) == len(free):
+                break
+        if not newcomers:
+            return
+        self.stats.queue_depth = self._queue.qsize()
+
+        n = len(newcomers)
+        bucket = _bucket(n, self.prefill_buckets)
+        mel = np.zeros((bucket, N_SAMPLES), np.float32)
+        lengths = np.zeros((bucket,), np.int32)
+        # one prompt shape per admission round: group by (language, task)
+        prompts = np.zeros((bucket, 4), np.int32)
+        for i, r in enumerate(newcomers):
+            a = r.audio[:N_SAMPLES]
+            mel[i, : len(a)] = a
+            lengths[i] = len(a)
+            seq = list(self.cfg.sot_sequence(r.language, r.task))
+            prompts[i] = seq
+        if self.timestamps:
+            prompts = prompts[:, :-1]
+        P = prompts.shape[1]
+        for i in range(n, bucket):
+            prompts[i] = prompts[0]
+
+        logits, kvk, kvv, ck, cv = self._prefill_fn(
+            self.params, jnp.asarray(mel), jnp.asarray(lengths), jnp.asarray(prompts))
+        rs0 = RuleState.create(bucket)
+        if self.apply_filters or self.timestamps or self._suppress is not None:
+            logits = apply_rules(logits, rs0, self.cfg, suppress_ids=self._suppress,
+                                 timestamps=self.timestamps)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        slots = self._free_slots()[:n]
+        slot_idx = np.full((bucket,), self.B, np.int32)
+        slot_idx[:n] = slots
+        lim = self.cfg.n_text_ctx
+        if self.max_tokens:
+            lim = min(lim, P + self.max_tokens)
+
+        (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
+         kv_k, kv_v, self.ckv_k, self.ckv_v) = self._admit_fn(
+            jnp.asarray(slot_idx), logits, kvk, kvv, ck, cv,
+            first, jnp.full((bucket,), P, jnp.int32), jnp.int32(lim),
+            self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
+            self.kv.k, self.kv.v, self.ckv_k, self.ckv_v,
+            jnp.asarray(prompts), jnp.int32(n))
+        self.kv = KVCache(kv_k, kv_v)
+
+        for i, r in zip(slots, newcomers):
+            self._slot_req[i] = r
+            self._slot_prompt_len[i] = P
+        self.stats.active_slots = sum(r is not None for r in self._slot_req)
+
+    def _harvest(self):
+        done_h = np.asarray(self.done)
+        active_h = np.asarray(self.active)
+        ready = [i for i in range(self.B)
+                 if active_h[i] and done_h[i] and self._slot_req[i] is not None]
+        if not ready:
+            return
+        tokens_h = np.asarray(self.tokens)
+        offs_h = np.asarray(self.offsets)
+        for i in ready:
+            req = self._slot_req[i]
+            P = self._slot_prompt_len[i]
+            ids = tokens_h[i, P: offs_h[i]]
+            ids = ids[ids != self.cfg.eot]
+            if self.timestamps:
+                text = self.tokenizer.decode_with_timestamps(ids).strip()
+            else:
+                text = self.tokenizer.decode(ids).strip()
+            text = postprocess(text, req.language)
+            wall = time.perf_counter() - req.enqueued_at
+            audio_s = len(req.audio) / 16000.0
+            self.stats.requests_total += 1
+            self.stats.tokens_total += int(len(ids))
+            self.stats.audio_seconds_total += audio_s
+            req.future.set_result({
+                "success": True,
+                "text": text,
+                "language": req.language,
+                "audio_seconds": audio_s,
+                "wall_seconds": wall,
+                "rtf": wall / max(audio_s, 1e-9),
+            })
+            self._slot_req[i] = None
+            self._slot_prompt_len[i] = 0
+        # deactivate harvested slots
+        mask = np.zeros((self.B,), bool)
+        mask[ready] = True
+        m = jnp.asarray(mask)
+        self.active = jnp.where(m, False, self.active)
+        self.done = jnp.where(m, False, self.done)
+        self.stats.active_slots = sum(r is not None for r in self._slot_req)
+
+    def _run(self):
+        while not self._stop.is_set():
+            has_active = any(r is not None for r in self._slot_req)
+            if not has_active and self._queue.empty():
+                try:
+                    req = self._queue.get(timeout=0.05)
+                    self._queue.put(req)
+                except queue.Empty:
+                    continue
+            t0 = time.perf_counter()
+            self._admit_new()
+            if any(r is not None for r in self._slot_req):
+                (self.tokens, self.offsets, self.done, self.rs, kv_k, kv_v) = \
+                    self._step_fn(self.params, self.tokens, self.offsets,
+                                  self.active, self.done, self.limit, self.rs,
+                                  self.kv.k, self.kv.v, self.ckv_k, self.ckv_v,
+                                  self.steps_per_sync)
+                self.kv = KVCache(kv_k, kv_v)
+                self._harvest()
+            self.stats.busy_seconds_total += time.perf_counter() - t0

@@ -1,0 +1,144 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+Covers both reference wire protocols on POST /asr:
+- multipart/form-data with a ``wav`` file field (+ optional language/task
+  fields) — the Python reference server (python/whisper_svr.py:41-96);
+- application/octet-stream raw little-endian f32 16 kHz PCM, length % 4
+  validated — the C++ reference server (cpp/src/WhisperHTTPServer.hpp:44-113).
+
+Adds GET /health (reference parity, python/whisper_svr.py:35-38) and
+GET /metrics (engine stats; the reference has no metrics endpoint).
+Responses are JSON with CORS headers like the C++ server.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..ops.audio import WavFormatError, load_audio, pcm_f32_from_bytes
+from .engine import ContinuousBatchingEngine, Request
+
+
+def parse_multipart(body: bytes, content_type: str) -> dict:
+    """Minimal multipart/form-data parser (cgi module is deprecated)."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart body without boundary")
+    boundary = m.group(1).encode()
+    parts = body.split(b"--" + boundary)
+    out = {}
+    for part in parts[1:-1]:
+        part = part.lstrip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        try:
+            head, _, payload = part.partition(b"\r\n\r\n")
+        except ValueError:
+            continue
+        payload = payload.rstrip(b"\r\n")
+        nm = re.search(rb'name="([^"]+)"', head)
+        if not nm:
+            continue
+        name = nm.group(1).decode()
+        if re.search(rb"filename=", head):
+            out[name] = payload
+        else:
+            out[name] = payload.decode("utf-8", "replace")
+    return out
+
+
+class WhisperHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    engine: ContinuousBatchingEngine = None  # set by make_server
+    request_timeout_s: float = 300.0
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload, ensure_ascii=False).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        # CORS, like the C++ server (cpp/src/WhisperHTTPServer.hpp:36-38)
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Methods", "POST, GET, OPTIONS")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._send(200, {"status": "healthy"})
+        elif self.path == "/metrics":
+            self._send(200, self.engine.stats.snapshot())
+        else:
+            self._send(404, {"success": False, "error": "not found"})
+
+    def do_OPTIONS(self):
+        self._send(200, {})
+
+    def do_POST(self):
+        if self.path not in ("/asr", "/transcribe"):
+            self._send(404, {"success": False, "error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if length <= 0:
+                self._send(400, {"success": False, "error": "empty body"})
+                return
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            language, task = "zh", "transcribe"
+
+            if ctype.startswith("multipart/form-data"):
+                fields = parse_multipart(body, ctype)
+                if "wav" not in fields:
+                    self._send(400, {"success": False, "error": "missing wav field"})
+                    return
+                audio = load_audio(fields["wav"])
+                language = fields.get("language", language) or language
+                task = fields.get("task", task) or task
+            elif ctype.startswith("application/octet-stream"):
+                if len(body) % 4 != 0:
+                    # C++ server semantics (WhisperHTTPServer.hpp:60-71)
+                    self._send(400, {"success": False,
+                                     "error": "binary data size must be multiple of 4"})
+                    return
+                audio = pcm_f32_from_bytes(body)
+                language = self.headers.get("X-Language", language)
+                task = self.headers.get("X-Task", task)
+            else:
+                # bare WAV body as a convenience
+                audio = load_audio(body)
+
+            if audio.size == 0:
+                self._send(400, {"success": False, "error": "empty audio"})
+                return
+            if task not in ("transcribe", "translate"):
+                self._send(400, {"success": False, "error": f"bad task {task!r}"})
+                return
+
+            fut = self.engine.submit(Request(audio=audio, language=language, task=task))
+            result = fut.result(timeout=self.request_timeout_s)
+            self._send(200, result)
+        except WavFormatError as e:
+            self._send(400, {"success": False, "error": str(e)})
+        except ValueError as e:
+            self._send(400, {"success": False, "error": str(e)})
+        except TimeoutError:
+            self._send(504, {"success": False, "error": "inference timeout"})
+        except Exception as e:  # noqa: BLE001 — server must not die
+            self._send(500, {"success": False, "error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(engine: ContinuousBatchingEngine, host: str = "0.0.0.0",
+                port: int = 8000, request_timeout_s: float = 300.0) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (WhisperHandler,),
+                   {"engine": engine, "request_timeout_s": request_timeout_s})
+    return ThreadingHTTPServer((host, port), handler)
