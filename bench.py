@@ -81,7 +81,9 @@ def main() -> int:
 
     audio_seconds = batch * (N_SAMPLES / 16000)
     rtf = wall / audio_seconds
-    baseline_rtf = 0.08  # reference C++ tiny on AX650N (README.md:217)
+    # reference C++ RTF per size on AX650N (BASELINE.md / README.md:217-220)
+    baseline_rtf = {"tiny": 0.08, "base": 0.11, "small": 0.24,
+                    "turbo": 0.48}.get(model, 0.08)
     out = {
         "metric": f"rtf_{model}_b{batch}_t{n_tokens}",
         "value": round(rtf, 6),

@@ -1,0 +1,75 @@
+"""Pallas kernel golden tests (interpret mode on CPU; the same kernels
+compile for TPU — exercised by bench.py / entry points on hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import HOP_LENGTH, N_FFT
+from whisper_tpu.models.model import attention
+from whisper_tpu.ops.flash_attention import flash_attention
+from whisper_tpu.ops.mel import _power_spectrum, mel_filterbank
+from whisper_tpu.ops.mel_pallas import log10_mel_pallas
+
+
+def test_flash_attention_matches_reference(rng):
+    B, H, T, dh = 2, 3, 200, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    ref = np.asarray(attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_cross_shape(rng):
+    """Tq != Tk (cross-attention layout)."""
+    B, H, dh = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 64, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, 300, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, 300, dh)).astype(np.float32))
+    ref = np.asarray(attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_bf16(rng):
+    B, H, T, dh = 1, 2, 128, 64
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((B, H, T, dh)).astype(np.float32)).astype(jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    ref = np.asarray(attention(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_attention(q, k, v, interpret=True)).astype(np.float32)
+    denom = np.maximum(np.abs(ref), 1e-1)
+    assert np.median(np.abs(got - ref) / denom) < 0.05
+
+
+def test_fused_mel_matches_jnp(rng):
+    n = 16000 * 2
+    x = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    xp = jnp.pad(jnp.asarray(x)[None], ((0, 0), (N_FFT // 2, N_FFT // 2)),
+                 mode="reflect")
+    n_frames = 1 + n // HOP_LENGTH
+
+    power = _power_spectrum(xp, N_FFT, HOP_LENGTH, n_frames=n_frames)
+    fb = jnp.asarray(mel_filterbank(80, N_FFT))
+    ref = np.asarray(jnp.log10(jnp.maximum(
+        jnp.einsum("mf,bft->bmt", fb, power), 1e-10)))
+
+    got = np.asarray(log10_mel_pallas(xp, n_mels=80, n_frames=n_frames,
+                                      interpret=True))
+    assert got.shape == ref.shape == (1, 80, n_frames)
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_mel_batched(rng):
+    xs = (rng.standard_normal((3, 16000)) * 0.2).astype(np.float32)
+    xp = jnp.pad(jnp.asarray(xs), ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
+    n_frames = 1 + 16000 // HOP_LENGTH
+    got = np.asarray(log10_mel_pallas(xp, n_mels=80, n_frames=n_frames, interpret=True))
+    assert got.shape == (3, 80, n_frames)
+    # per-batch rows differ (no cross-batch contamination)
+    assert not np.allclose(got[0], got[1])

@@ -140,12 +140,24 @@ def encoder_forward(
 
     n_head = cfg.n_audio_head
 
+    import os
+
+    from ..ops.flash_attention import flash_attention, use_flash
+
+    flash = os.environ.get("WHISPER_TPU_FLASH", "auto")
+    use_pallas = use_flash() if flash == "auto" else flash == "1"
+
     def block(x, p):
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
         k = _linear(h, p["attn"]["wk"], None, dt)
         v = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
-        o = attention(_split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head))
+        qh, kh, vh = (_split_heads(t, n_head) for t in (q, k, v))
+        if use_pallas:
+            # VMEM-resident Pallas kernel: no HBM score materialization
+            o = flash_attention(qh, kh, vh)
+        else:
+            o = attention(qh, kh, vh)
         x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])

@@ -96,8 +96,7 @@ class WhisperPipeline:
         )
 
     # ------------------------------------------------------------------
-    def _prepare_batch(self, audios: Sequence[Union[str, bytes, np.ndarray]]):
-        waves = [load_audio(a) for a in audios]
+    def _prepare_batch(self, waves: Sequence[np.ndarray]):
         lengths = np.array([min(len(w), N_SAMPLES) for w in waves], np.int32)
         batch = np.zeros((len(waves), N_SAMPLES), np.float32)
         for i, w in enumerate(waves):
@@ -112,18 +111,29 @@ class WhisperPipeline:
         audios: Sequence[Union[str, bytes, np.ndarray]],
         language: Optional[str] = None,
     ) -> List[TranscribeResult]:
-        """Batched transcription; one device program per (batch, prompt) shape."""
+        """Batched transcription; one device program per (batch, prompt) shape.
+
+        Audio longer than 30 s is split into windows and the windows of ALL
+        utterances decode as one flat batch (the reference truncates instead,
+        python/whisper.py:148-152); per-utterance texts are re-merged after.
+        """
+        from .longform import merge_texts, split_audio
+
         t0 = time.perf_counter()
         language = language or self.language
-        batch, lengths, secs = self._prepare_batch(audios)
+        waves = [load_audio(a) for a in audios]
+        chunk_lists = [split_audio(w)[0] for w in waves]
+        flat_waves = [c for cl in chunk_lists for c in cl]
+        n_chunks = [len(cl) for cl in chunk_lists]
+        batch, lengths, secs = self._prepare_batch(flat_waves)
         mel = log_mel_batch(batch, lengths, n_mels=self.cfg.n_mels)
 
         if language is None:
             lang_idx, _ = detect_language(self.params, mel, self.cfg, self.compute_dtype)
             codes = list(LANGUAGES.keys())
-            langs = [codes[int(i)] for i in np.asarray(lang_idx)]
+            langs = [codes[int(i)] for i in np.asarray(lang_idx)]  # per chunk
         else:
-            langs = [language] * len(audios)
+            langs = [language] * len(flat_waves)
 
         prompts = np.stack([self._prompt(l) for l in langs])
         if self.timestamps:
@@ -161,17 +171,26 @@ class WhisperPipeline:
         wall = time.perf_counter() - t0
         toks = np.asarray(result.tokens)
         lens = np.asarray(result.lengths)
+
+        # regroup flat chunks back into utterances
         out = []
-        for i, (text, lang) in enumerate(zip(texts, langs)):
+        pos = 0
+        for u, nc in enumerate(n_chunks):
+            chunk_texts = texts[pos : pos + nc]
+            lang = langs[pos]  # utterance language = first chunk's
+            merged = (merge_texts(chunk_texts, lang) if nc > 1 else chunk_texts[0])
+            utt_tokens = np.concatenate(
+                [toks[pos + j, prompts.shape[1] : lens[pos + j]] for j in range(nc)])
             out.append(
                 TranscribeResult(
-                    text=postprocess(text, lang),
+                    text=postprocess(merged, lang),
                     language=lang,
-                    tokens=toks[i, prompts.shape[1] : lens[i]],
-                    audio_seconds=float(secs[i]),
+                    tokens=utt_tokens,
+                    audio_seconds=len(waves[u]) / 16000.0,
                     wall_seconds=wall / len(audios),
                 )
             )
+            pos += nc
         return out
 
     def transcribe(

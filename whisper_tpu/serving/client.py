@@ -1,0 +1,77 @@
+"""HTTP client for the serving stack — counterpart of the reference's
+python/test_svr.py:4-46 smoke client, usable as a library or CLI.
+
+    python -m whisper_tpu.serving.client --wav demo.wav --host 127.0.0.1 --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import urllib.request
+from typing import Optional
+
+
+def transcribe_file(
+    wav_path: str,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    language: str = "zh",
+    task: str = "transcribe",
+    timeout: float = 300.0,
+    use_multipart: bool = True,
+) -> dict:
+    url = f"http://{host}:{port}/asr"
+    if use_multipart:
+        boundary = "whispertpuclient"
+        with open(wav_path, "rb") as f:
+            wav = f.read()
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="language"\r\n\r\n'
+            f"{language}\r\n"
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="task"\r\n\r\n'
+            f"{task}\r\n"
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="wav"; filename="audio.wav"\r\n'
+            "Content-Type: audio/wav\r\n\r\n"
+        ).encode() + wav + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            url, data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    else:
+        from ..ops.audio import load_audio
+
+        pcm = load_audio(wav_path).astype("<f4").tobytes()
+        req = urllib.request.Request(
+            url, data=pcm,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Language": language, "X-Task": task})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.load(r)
+
+
+def health(host: str = "127.0.0.1", port: int = 8000, timeout: float = 10.0) -> dict:
+    with urllib.request.urlopen(f"http://{host}:{port}/health", timeout=timeout) as r:
+        return json.load(r)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("whisper_tpu.serving.client")
+    p.add_argument("--wav", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--language", "-l", default="zh")
+    p.add_argument("--task", default="transcribe")
+    p.add_argument("--pcm", action="store_true", help="use the raw-PCM protocol")
+    args = p.parse_args(argv)
+    res = transcribe_file(args.wav, args.host, args.port, args.language,
+                          args.task, use_multipart=not args.pcm)
+    print(json.dumps(res, ensure_ascii=False, indent=2))
+    return 0 if res.get("success") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
