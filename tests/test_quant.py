@@ -89,3 +89,36 @@ def test_quantized_params_jit_and_scan(rng):
     mel = jnp.asarray(rng.standard_normal((2, 80, 128)).astype(np.float32))
     out = jax.jit(lambda pp, m: encoder_forward(pp, m, NANO))(p, mel)
     assert out.shape == (2, 64, 64)
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    """Own snapshot format: fp32 + quantized params round-trip exactly."""
+    import jax
+    import numpy as np
+
+    from whisper_tpu.models.checkpoint import load_params, save_params
+
+    p = init_params(NANO)
+    qp = quantize_params(p)
+    f = str(tmp_path / "snap.safetensors")
+    save_params(f, qp, NANO)
+    loaded, cfg = load_params(f)
+    assert cfg is not None and cfg.n_text_state == NANO.n_text_state
+
+    flat_a = jax.tree.leaves(qp, is_leaf=lambda x: isinstance(x, QTensor))
+    flat_b = jax.tree.leaves(loaded, is_leaf=lambda x: isinstance(x, QTensor))
+    assert len(flat_a) == len(flat_b)
+    # spot-check quantized and fp leaves
+    qa = qp["decoder"]["blocks"]["mlp"]["w1"]
+    qb = loaded["decoder"]["blocks"]["mlp"]["w1"]
+    assert isinstance(qb, QTensor)
+    np.testing.assert_array_equal(np.asarray(qa.q), np.asarray(qb.q))
+    np.testing.assert_array_equal(np.asarray(qa.s), np.asarray(qb.s))
+    np.testing.assert_array_equal(
+        np.asarray(qp["decoder"]["tok_emb"]), np.asarray(loaded["decoder"]["tok_emb"]))
+
+    # outputs identical through the model
+    mel = jnp.asarray(rng.standard_normal((1, 80, 128)).astype(np.float32))
+    a = np.asarray(encoder_forward(qp, mel, NANO))
+    b = np.asarray(encoder_forward(loaded, mel, NANO))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)

@@ -29,7 +29,12 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     }
     out: Dict[str, np.ndarray] = {}
     with open(path, "rb") as f:
-        (hlen,) = struct.unpack("<Q", f.read(8))
+        raw = f.read(8)
+        if len(raw) < 8:
+            raise ValueError(f"{path}: not a safetensors file (truncated header)")
+        (hlen,) = struct.unpack("<Q", raw)
+        if hlen > os.path.getsize(path):
+            raise ValueError(f"{path}: not a safetensors file (bad header length)")
         header = json.loads(f.read(hlen))
         body = f.read()
     for name, meta in header.items():
@@ -59,6 +64,106 @@ def load_torch_pt(path: str) -> Tuple[Dict[str, np.ndarray], Optional[dict]]:
     else:
         sd = ckpt
     return {k: v.float().numpy() for k, v in sd.items()}, dims
+
+
+def save_safetensors(path: str, tensors: Dict[str, np.ndarray],
+                     metadata: Optional[Dict[str, str]] = None) -> None:
+    """Minimal safetensors writer (inverse of load_safetensors)."""
+    _NAMES = {
+        np.dtype(np.float64): "F64", np.dtype(np.float32): "F32",
+        np.dtype(np.float16): "F16", np.dtype(np.int64): "I64",
+        np.dtype(np.int32): "I32", np.dtype(np.int16): "I16",
+        np.dtype(np.int8): "I8", np.dtype(np.uint8): "U8",
+        np.dtype(np.bool_): "BOOL",
+    }
+    header: Dict[str, Any] = {}
+    if metadata:
+        header["__metadata__"] = metadata
+    offset = 0
+    blobs = []
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
+        if arr.dtype not in _NAMES:  # e.g. bfloat16 -> store raw as uint16? keep f32
+            arr = arr.astype(np.float32)
+        blob = arr.tobytes()
+        header[name] = {
+            "dtype": _NAMES[arr.dtype],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(blob)],
+        }
+        offset += len(blob)
+        blobs.append(blob)
+    hjson = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for b in blobs:
+            f.write(b)
+
+
+def save_params(path: str, params, cfg: Optional[WhisperConfig] = None) -> None:
+    """Serialize a param pytree (incl. quantized QTensor leaves) to one
+    safetensors file — this stack's own snapshot format for fast reload
+    (the reference's equivalent artifact is the compiled .axmodel pair)."""
+    from ..ops.quant import QTensor
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}{k}.")
+        elif isinstance(node, QTensor):
+            flat[prefix + "__q"] = np.asarray(node.q)
+            flat[prefix + "__s"] = np.asarray(node.s)
+        else:
+            flat[prefix.rstrip(".")] = np.asarray(node)
+
+    walk(params, "")
+    meta = {"format": "whisper_tpu.v1"}
+    if cfg is not None:
+        meta["config"] = cfg.to_json()
+    save_safetensors(path, flat, metadata=meta)
+
+
+def load_params(path: str):
+    """Load a save_params snapshot -> (params pytree, WhisperConfig or None)."""
+    from ..ops.quant import QTensor
+
+    with open(path, "rb") as f:
+        raw = f.read(8)
+        if len(raw) < 8:
+            raise ValueError(f"{path}: not a safetensors file (truncated header)")
+        (hlen,) = struct.unpack("<Q", raw)
+        if hlen > os.path.getsize(path):
+            raise ValueError(f"{path}: not a safetensors file (bad header length)")
+        header = json.loads(f.read(hlen))
+    meta = header.get("__metadata__", {})
+    flat = load_safetensors(path)
+
+    params: Dict[str, Any] = {}
+    qparts: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, arr in flat.items():
+        if name.endswith("__q") or name.endswith("__s"):
+            base, kind = name.rsplit(".", 1)
+            qparts.setdefault(base, {})[kind] = arr
+            continue
+        node = params
+        parts = name.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    import jax.numpy as jnp
+
+    for base, kv in qparts.items():
+        node = params
+        parts = base.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = QTensor(jnp.asarray(kv["__q"]), jnp.asarray(kv["__s"]))
+
+    cfg = WhisperConfig.from_json(meta["config"]) if "config" in meta else None
+    return params, cfg
 
 
 # ------------------------------------------------------------- converters

@@ -115,6 +115,37 @@ def attention(
     return out
 
 
+def attention_bthd(
+    q: jnp.ndarray,  # (B, Tq, D)
+    k: jnp.ndarray,  # (B, Tk, D)
+    v: jnp.ndarray,  # (B, Tk, D)
+    n_head: int,
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, Tq, Tk)
+) -> jnp.ndarray:
+    """Attention over the flat (B, T, D) layout — no head transposes.
+
+    The decode hot loop reads the whole self/cross KV cache every token;
+    physically transposing it to (B, H, T, dh) each step (what _split_heads
+    does) doubles the HBM traffic that dominates decode. Here heads are
+    split by a free last-dim reshape and contracted in place:
+      scores = einsum('bqhd,bkhd->bhqk') ; out = einsum('bhqk,bkhd->bqhd').
+    Numerics identical to :func:`attention`.
+    """
+    B, Tq, D = q.shape
+    dh = D // n_head
+    qh = q.reshape(B, Tq, n_head, dh)
+    kh = k.reshape(B, k.shape[1], n_head, dh)
+    vh = v.reshape(B, v.shape[1], n_head, dh)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(vh.dtype), vh,
+                     preferred_element_type=vh.dtype)
+    return out.reshape(B, Tq, D)
+
+
 # ------------------------------------------------------------------ encoder
 def encoder_forward(
     params: Params,
@@ -262,22 +293,13 @@ def decoder_forward(
             vcache, v_new.astype(vcache.dtype)[None], (layer, 0, offset, 0))
         k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
         v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-        o = attention(
-            _split_heads(q, n_head),
-            _split_heads(k_full, n_head),
-            _split_heads(v_full, n_head),
-            mask=vis,
-        )
-        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+        o = attention_bthd(q, k_full, v_full, n_head, mask=vis)
+        x = x + _linear(o, p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        o = attention(
-            _split_heads(q, n_head),
-            _split_heads(p_ck_l.astype(dt), n_head),
-            _split_heads(p_cv_l.astype(dt), n_head),
-        )
-        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
+        o = attention_bthd(q, p_ck_l.astype(dt), p_cv_l.astype(dt), n_head)
+        x = x + _linear(o, p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
         h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
@@ -290,8 +312,10 @@ def decoder_forward(
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     # tied-embedding logits, fp32 island (export_onnx.py:377-386)
-    logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
-                        dec["tok_emb"].astype(jnp.float32),
+    # tied-embedding logits: compute-dtype inputs, fp32 accumulation — a
+    # full-precision cast would stream a fp32 copy of the (V, D) embedding
+    # through HBM every decode step
+    logits = jnp.einsum("bsd,vd->bsv", x.astype(dt), dec["tok_emb"].astype(dt),
                         preferred_element_type=jnp.float32)
     return logits, KVCache(kc, vc)
 
@@ -342,22 +366,13 @@ def decoder_step_multipos(
             v_new[:, 0, :].astype(vcache.dtype))
         k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
         v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-        o = attention(
-            _split_heads(q, n_head),
-            _split_heads(k_full, n_head),
-            _split_heads(v_full, n_head),
-            mask=vis,
-        )
-        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+        o = attention_bthd(q, k_full, v_full, n_head, mask=vis)
+        x = x + _linear(o, p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        o = attention(
-            _split_heads(q, n_head),
-            _split_heads(p_ck_l.astype(dt), n_head),
-            _split_heads(p_cv_l.astype(dt), n_head),
-        )
-        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
+        o = attention_bthd(q, p_ck_l.astype(dt), p_cv_l.astype(dt), n_head)
+        x = x + _linear(o, p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
         h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
@@ -368,8 +383,10 @@ def decoder_step_multipos(
         scan_block, (x, kv.k, kv.v, 0), (dec["blocks"], ck, cv))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    logits = jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32),
-                        dec["tok_emb"].astype(jnp.float32),
+    # tied-embedding logits: compute-dtype inputs, fp32 accumulation — a
+    # full-precision cast would stream a fp32 copy of the (V, D) embedding
+    # through HBM every decode step
+    logits = jnp.einsum("bsd,vd->bsv", x.astype(dt), dec["tok_emb"].astype(dt),
                         preferred_element_type=jnp.float32)
     return logits[:, 0], KVCache(kc, vc)
 
