@@ -229,3 +229,61 @@ def test_client_module(http_server, rng, tmp_path):
     # 16-bit WAV quantization can flip low-confidence random-weight tokens;
     # the PCM path must at least produce the same result shape
     assert isinstance(r1["text"], str) and isinstance(r2["text"], str)
+
+
+def test_engine_auto_language(nano_params, rng):
+    """language='auto' resolves to a concrete code via the detection step."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2,
+        compute_dtype=jnp.float32, steps_per_sync=2, max_tokens=6,
+        apply_filters=False,
+    ).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.5), language="auto", timeout=60)
+        assert res["success"]
+        from whisper_tpu.tokenizer import LANGUAGES
+
+        assert res["language"] in LANGUAGES
+    finally:
+        eng.stop()
+
+
+def test_engine_backpressure(nano_params, rng):
+    """submit raises OverloadedError once the queue is at capacity."""
+    from whisper_tpu.serving.engine import OverloadedError
+
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=1,
+        compute_dtype=jnp.float32, max_tokens=4,
+        apply_filters=False, max_queue=2,
+    )  # NOT started: queue only fills
+    eng.submit(Request(audio=_audio(rng, 0.2)))
+    eng.submit(Request(audio=_audio(rng, 0.2)))
+    import pytest as _pytest
+
+    with _pytest.raises(OverloadedError):
+        eng.submit(Request(audio=_audio(rng, 0.2)))
+
+
+def test_http_streaming(http_server, rng):
+    """X-Stream: 1 returns chunked NDJSON partials then the final result."""
+    import http.client
+
+    host, port = http_server.replace("http://", "").split(":")
+    wav = _audio(rng, 1.2)
+    conn = http.client.HTTPConnection(host, int(port), timeout=90)
+    conn.request("POST", "/asr", body=wav.tobytes(),
+                 headers={"Content-Type": "application/octet-stream",
+                          "X-Stream": "1"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert "ndjson" in resp.getheader("Content-Type", "")
+    lines = [json.loads(l) for l in resp.read().decode().strip().splitlines()]
+    conn.close()
+    assert lines, "no stream output"
+    final = lines[-1]
+    assert final.get("success") is True
+    # any earlier lines are partials and must be prefixes of progress
+    partial_texts = [l["partial"] for l in lines[:-1] if "partial" in l]
+    for a, b in zip(partial_texts, partial_texts[1:]):
+        assert b.startswith(a[: max(len(a) - 8, 0)])  # monotone-ish growth

@@ -51,6 +51,8 @@ class Request:
     task: str = "transcribe"
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)
+    # streaming: called with the partial transcript after each sync round
+    on_partial: Optional[object] = None  # Callable[[str], None]
 
 
 @dataclass
@@ -68,6 +70,10 @@ class EngineStats:
         d["audio_seconds_per_second"] = self.audio_seconds_total / busy
         d["rtf"] = busy / max(self.audio_seconds_total, 1e-9)
         return d
+
+
+class OverloadedError(RuntimeError):
+    """Raised on submit when the request queue is at capacity (backpressure)."""
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -92,6 +98,7 @@ class ContinuousBatchingEngine:
         max_tokens: Optional[int] = None,
         apply_filters: bool = True,
         timestamps: bool = False,
+        max_queue: int = 256,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -131,7 +138,7 @@ class ContinuousBatchingEngine:
         self._slot_req: List[Optional[Request]] = [None] * B
         self._slot_prompt_len: List[int] = [0] * B
 
-        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._queue: "queue.Queue[Request]" = queue.Queue(maxsize=max_queue)
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -139,7 +146,11 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------- API
     def submit(self, req: Request) -> Future:
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise OverloadedError(
+                f"queue full ({self._queue.maxsize} pending requests)")
         self.stats.queue_depth = self._queue.qsize()
         return req.future
 
@@ -198,17 +209,43 @@ class ContinuousBatchingEngine:
         return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(1, 6, 7, 8))
 
     @functools.cached_property
-    def _prefill_fn(self):
+    def _encode_fn(self):
         cfg, dt = self.cfg, self.dt
 
-        def prefill(params, mel, lengths, prompt):
+        def encode(params, mel, lengths):
             mel_feat = log_mel_batch(mel, lengths, n_mels=cfg.n_mels)
             mel_feat = mel_feat[..., : 2 * cfg.n_audio_ctx]
             audio = encoder_forward(params, mel_feat, cfg, dt)
             ckv = compute_cross_kv(params, audio, cfg, dt)
-            kv = KVCache.create(cfg, mel.shape[0], dtype=dt)
-            logits, kv = decoder_forward(params, prompt, 0, kv, ckv, cfg, dt)
-            return logits[:, -1], kv.k, kv.v, ckv[0], ckv[1]
+            return ckv[0], ckv[1]
+
+        return jax.jit(encode)
+
+    @functools.cached_property
+    def _detect_fn(self):
+        """Language ID from cross-KV: one [sot] decoder step (the reference
+        documents 'auto' but never implements it, ax_whisper_api.h:40)."""
+        cfg, dt = self.cfg, self.dt
+
+        def detect(params, ckv_k, ckv_v):
+            B = ckv_k.shape[1]
+            kv = KVCache.create(cfg, B, dtype=dt)
+            sot = jnp.full((B, 1), cfg.sot, jnp.int32)
+            logits, _ = decoder_forward(params, sot, 0, kv, (ckv_k, ckv_v), cfg, dt)
+            lang_logits = jax.lax.dynamic_slice_in_dim(
+                logits[:, 0], cfg.lang_token_start, cfg.num_languages, axis=-1)
+            return jnp.argmax(lang_logits, axis=-1)
+
+        return jax.jit(detect)
+
+    @functools.cached_property
+    def _prefill_fn(self):
+        cfg, dt = self.cfg, self.dt
+
+        def prefill(params, ckv_k, ckv_v, prompt):
+            kv = KVCache.create(cfg, prompt.shape[0], dtype=dt)
+            logits, kv = decoder_forward(params, prompt, 0, kv, (ckv_k, ckv_v), cfg, dt)
+            return logits[:, -1], kv.k, kv.v
 
         return jax.jit(prefill)
 
@@ -276,22 +313,33 @@ class ContinuousBatchingEngine:
         bucket = _bucket(n, self.prefill_buckets)
         mel = np.zeros((bucket, N_SAMPLES), np.float32)
         lengths = np.zeros((bucket,), np.int32)
-        # one prompt shape per admission round: group by (language, task)
-        prompts = np.zeros((bucket, 4), np.int32)
         for i, r in enumerate(newcomers):
             a = r.audio[:N_SAMPLES]
             mel[i, : len(a)] = a
             lengths[i] = len(a)
-            seq = list(self.cfg.sot_sequence(r.language, r.task))
-            prompts[i] = seq
+
+        ck, cv = self._encode_fn(self.params, jnp.asarray(mel), jnp.asarray(lengths))
+
+        # resolve "auto" languages with one [sot] decode step over the batch
+        if any(r.language in (None, "auto") for r in newcomers):
+            from ..tokenizer import LANGUAGES
+
+            codes = list(LANGUAGES.keys())
+            lang_idx = np.asarray(self._detect_fn(self.params, ck, cv))
+            for i, r in enumerate(newcomers):
+                if r.language in (None, "auto"):
+                    r.language = codes[int(lang_idx[i])]
+
+        prompts = np.zeros((bucket, 4), np.int32)
+        for i, r in enumerate(newcomers):
+            prompts[i] = list(self.cfg.sot_sequence(r.language, r.task))
         if self.timestamps:
             prompts = prompts[:, :-1]
         P = prompts.shape[1]
         for i in range(n, bucket):
             prompts[i] = prompts[0]
 
-        logits, kvk, kvv, ck, cv = self._prefill_fn(
-            self.params, jnp.asarray(mel), jnp.asarray(lengths), jnp.asarray(prompts))
+        logits, kvk, kvv = self._prefill_fn(self.params, ck, cv, jnp.asarray(prompts))
         rs0 = RuleState.create(bucket)
         if self.apply_filters or self.timestamps or self._suppress is not None:
             logits = apply_rules(logits, rs0, self.cfg, suppress_ids=self._suppress,
@@ -319,15 +367,32 @@ class ContinuousBatchingEngine:
             self._slot_prompt_len[i] = P
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
 
+    def _emit_partials(self, tokens_h, offs_h, done_h):
+        for i in range(self.B):
+            req = self._slot_req[i]
+            if req is None or req.on_partial is None or done_h[i]:
+                continue
+            P = self._slot_prompt_len[i]
+            ids = tokens_h[i, P: offs_h[i]]
+            ids = ids[ids != self.cfg.eot]
+            text = (self.tokenizer.decode_with_timestamps(ids)
+                    if self.timestamps else self.tokenizer.decode(ids))
+            try:
+                req.on_partial(postprocess(text, req.language))
+            except Exception:
+                req.on_partial = None  # dead consumer: stop streaming to it
+
     def _harvest(self):
         done_h = np.asarray(self.done)
         active_h = np.asarray(self.active)
+        tokens_h = np.asarray(self.tokens)
+        offs_h = np.asarray(self.offsets)
+        if any(r is not None and r.on_partial is not None for r in self._slot_req):
+            self._emit_partials(tokens_h, offs_h, done_h)
         ready = [i for i in range(self.B)
                  if active_h[i] and done_h[i] and self._slot_req[i] is not None]
         if not ready:
             return
-        tokens_h = np.asarray(self.tokens)
-        offs_h = np.asarray(self.offsets)
         for i in ready:
             req = self._slot_req[i]
             P = self._slot_prompt_len[i]

@@ -22,7 +22,7 @@ from typing import Optional
 import numpy as np
 
 from ..ops.audio import WavFormatError, load_audio, pcm_f32_from_bytes
-from .engine import ContinuousBatchingEngine, Request
+from .engine import ContinuousBatchingEngine, OverloadedError, Request
 
 
 def parse_multipart(body: bytes, content_type: str) -> dict:
@@ -71,6 +71,55 @@ class WhisperHandler(BaseHTTPRequestHandler):
         self.send_header("Access-Control-Allow-Methods", "POST, GET, OPTIONS")
         self.end_headers()
         self.wfile.write(body)
+
+    def _stream_request(self, audio, language: str, task: str):
+        """Chunked response: one JSON line per partial, then the final result.
+
+        Streaming partials per decode round is new capability — the reference
+        returns only whole-utterance results.
+        """
+        import queue as _q
+
+        partials: "_q.Queue[str]" = _q.Queue()
+        req = Request(audio=audio, language=language, task=task,
+                      on_partial=partials.put)
+        fut = self.engine.submit(req)
+
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson; charset=utf-8")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+
+        def chunk(obj):
+            data = (json.dumps(obj, ensure_ascii=False) + "\n").encode()
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        deadline = self.request_timeout_s
+        import time as _t
+
+        t0 = _t.monotonic()
+        last = None
+        try:
+            while True:
+                if fut.done():
+                    break
+                try:
+                    p = partials.get(timeout=0.05)
+                    if p != last:
+                        chunk({"partial": p})
+                        last = p
+                except _q.Empty:
+                    pass
+                if _t.monotonic() - t0 > deadline:
+                    chunk({"success": False, "error": "inference timeout"})
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+            chunk(fut.result(timeout=1.0))
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            req.on_partial = None  # client went away
 
     def do_GET(self):
         if self.path == "/health":
@@ -124,9 +173,16 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 self._send(400, {"success": False, "error": f"bad task {task!r}"})
                 return
 
+            stream = (self.headers.get("X-Stream") == "1"
+                      or "stream=1" in (self.path.split("?", 1) + [""])[1])
+            if stream:
+                self._stream_request(audio, language, task)
+                return
             fut = self.engine.submit(Request(audio=audio, language=language, task=task))
             result = fut.result(timeout=self.request_timeout_s)
             self._send(200, result)
+        except OverloadedError as e:
+            self._send(503, {"success": False, "error": str(e)})
         except WavFormatError as e:
             self._send(400, {"success": False, "error": str(e)})
         except ValueError as e:
