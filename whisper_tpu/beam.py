@@ -178,8 +178,10 @@ def beam_search(
         flat_src = new_src.reshape(N)
         tokens = _gather_beams(c.tokens, flat_src, B, K)
         tokens = jax.lax.dynamic_update_slice(tokens, new_tok.reshape(N, 1), (0, c.i + 1))
-        kv_k = _gather_beams(new_kv.k.transpose(1, 0, 2, 3), flat_src, B, K).transpose(1, 0, 2, 3)
-        kv_v = _gather_beams(new_kv.v.transpose(1, 0, 2, 3), flat_src, B, K).transpose(1, 0, 2, 3)
+        kv_k = jnp.moveaxis(
+            _gather_beams(jnp.moveaxis(new_kv.k, 1, 0), flat_src, B, K), 0, 1)
+        kv_v = jnp.moveaxis(
+            _gather_beams(jnp.moveaxis(new_kv.v, 1, 0), flat_src, B, K), 0, 1)
         rs = RuleState(
             last=_gather_beams(c.rs.last, flat_src, B, K),
             penult=_gather_beams(c.rs.penult, flat_src, B, K),

@@ -229,19 +229,28 @@ def compute_cross_kv(
     ck = proj(dec["blocks"]["cross"]["wk"])
     cv = proj(dec["blocks"]["cross"]["wv"])
     cv = cv + dec["blocks"]["cross"]["bv"][:, None, None, :].astype(dt)
+    # store head-major (L, B, H, Ta, dh): the decode loop reads this every
+    # token — pay the relayout once here, never per step
+    L, B, Ta, D = ck.shape
+    H = cfg.n_text_head
+    ck = ck.reshape(L, B, Ta, H, D // H).transpose(0, 1, 3, 2, 4)
+    cv = cv.reshape(L, B, Ta, H, D // H).transpose(0, 1, 3, 2, 4)
     return ck, cv
 
 
 # ------------------------------------------------------------------ decoder
 class KVCache(NamedTuple):
-    """Self-attention KV cache, device-resident. k/v: (L, B, n_text_ctx, D)."""
+    """Self-attention KV cache, device-resident, head-major:
+    k/v: (L, B, H, n_text_ctx, dh) — the layout decode attention consumes,
+    so cache reads need no per-step relayout."""
 
     k: jnp.ndarray
     v: jnp.ndarray
 
     @classmethod
     def create(cls, cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> "KVCache":
-        shape = (cfg.n_text_layer, batch, cfg.n_text_ctx, cfg.n_text_state)
+        shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.n_text_ctx,
+                 cfg.head_dim_text)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -287,19 +296,22 @@ def decoder_forward(
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
         k_new = _linear(h, p["attn"]["wk"], None, dt)
         v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        # head-major write: (B, S, D) -> (1, B, H, S, dh) at [layer,:,:,offset]
         kcache = jax.lax.dynamic_update_slice(
-            kcache, k_new.astype(kcache.dtype)[None], (layer, 0, offset, 0))
+            kcache, _split_heads(k_new, n_head).astype(kcache.dtype)[None],
+            (layer, 0, 0, offset, 0))
         vcache = jax.lax.dynamic_update_slice(
-            vcache, v_new.astype(vcache.dtype)[None], (layer, 0, offset, 0))
+            vcache, _split_heads(v_new, n_head).astype(vcache.dtype)[None],
+            (layer, 0, 0, offset, 0))
         k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
         v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-        o = attention_bthd(q, k_full, v_full, n_head, mask=vis)
-        x = x + _linear(o, p["attn"]["wo"], p["attn"]["bo"], dt)
+        o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
+        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        o = attention_bthd(q, p_ck_l.astype(dt), p_cv_l.astype(dt), n_head)
-        x = x + _linear(o, p["cross"]["wo"], p["cross"]["bo"], dt)
+        o = attention(_split_heads(q, n_head), p_ck_l.astype(dt), p_cv_l.astype(dt))
+        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
         h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
@@ -360,19 +372,21 @@ def decoder_step_multipos(
         k_new = _linear(h, p["attn"]["wk"], None, dt)
         v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
         # per-stream scatter: cache[layer, b, offsets[b], :] = new
-        kcache = kcache.at[layer, barange, offsets, :].set(
-            k_new[:, 0, :].astype(kcache.dtype))
-        vcache = vcache.at[layer, barange, offsets, :].set(
-            v_new[:, 0, :].astype(vcache.dtype))
+        # head-major per-stream scatter: cache[l, b, :, offsets[b], :] = new
+        dh = cfg.head_dim_text
+        kcache = kcache.at[layer, barange, :, offsets, :].set(
+            k_new[:, 0, :].reshape(B, n_head, dh).astype(kcache.dtype))
+        vcache = vcache.at[layer, barange, :, offsets, :].set(
+            v_new[:, 0, :].reshape(B, n_head, dh).astype(vcache.dtype))
         k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
         v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-        o = attention_bthd(q, k_full, v_full, n_head, mask=vis)
-        x = x + _linear(o, p["attn"]["wo"], p["attn"]["bo"], dt)
+        o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
+        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        o = attention_bthd(q, p_ck_l.astype(dt), p_cv_l.astype(dt), n_head)
-        x = x + _linear(o, p["cross"]["wo"], p["cross"]["bo"], dt)
+        o = attention(_split_heads(q, n_head), p_ck_l.astype(dt), p_cv_l.astype(dt))
+        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
         h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)

@@ -108,8 +108,9 @@ def data_specs() -> Dict[str, P]:
         "mel": P(DATA_AXIS, None, None),
         "tokens": P(DATA_AXIS, None),
         "audio": P(DATA_AXIS, None, None),
-        "kv": P(None, DATA_AXIS, None, MODEL_AXIS),
-        "cross_kv": P(None, DATA_AXIS, None, MODEL_AXIS),
+        # head-major caches (L, B, H, T, dh): batch over data, heads over model
+        "kv": P(None, DATA_AXIS, MODEL_AXIS, None, None),
+        "cross_kv": P(None, DATA_AXIS, MODEL_AXIS, None, None),
         "logits": P(DATA_AXIS, None, None),
     }
 

@@ -125,8 +125,9 @@ class ContinuousBatchingEngine:
         B = max_slots
         # device-resident slot state
         self.kv = KVCache.create(cfg, B, dtype=compute_dtype)
-        self.ckv_k = jnp.zeros((L, B, Ta, D), compute_dtype)
-        self.ckv_v = jnp.zeros((L, B, Ta, D), compute_dtype)
+        H, dh = cfg.n_text_head, cfg.head_dim_text
+        self.ckv_k = jnp.zeros((L, B, H, Ta, dh), compute_dtype)
+        self.ckv_v = jnp.zeros((L, B, H, Ta, dh), compute_dtype)
         self.tokens = jnp.full((B, T), cfg.eot, jnp.int32)
         self.offsets = jnp.zeros((B,), jnp.int32)   # next write position
         self.active = jnp.zeros((B,), bool)
