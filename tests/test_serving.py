@@ -287,3 +287,28 @@ def test_http_streaming(http_server, rng):
     partial_texts = [l["partial"] for l in lines[:-1] if "partial" in l]
     for a, b in zip(partial_texts, partial_texts[1:]):
         assert b.startswith(a[: max(len(a) - 8, 0)])  # monotone-ish growth
+
+
+def test_engine_survives_bad_batch(nano_params, rng):
+    """A crashing step must fail in-flight futures but keep serving."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2,
+        compute_dtype=jnp.float32, max_tokens=6, apply_filters=False,
+    ).start()
+    try:
+        # sabotage one admission round: break the prefill fn once
+        real_encode = eng._encode_fn
+
+        def boom(*a, **k):
+            eng.__dict__["_encode_fn"] = real_encode  # restore for next round
+            raise RuntimeError("injected failure")
+
+        eng.__dict__["_encode_fn"] = boom
+        f1 = eng.submit(Request(audio=_audio(rng, 0.3)))
+        with pytest.raises(RuntimeError, match="injected"):
+            f1.result(timeout=30)
+        # engine still alive: next request succeeds
+        res = eng.transcribe(_audio(rng, 0.3), timeout=60)
+        assert res["success"]
+    finally:
+        eng.stop()

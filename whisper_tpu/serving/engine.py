@@ -309,7 +309,14 @@ class ContinuousBatchingEngine:
         if not newcomers:
             return
         self.stats.queue_depth = self._queue.qsize()
+        try:
+            self._admit_batch(newcomers)
+        except Exception as e:  # noqa: BLE001 — fail these requests, keep serving
+            for r in newcomers:
+                if not r.future.done():
+                    r.future.set_exception(e)
 
+    def _admit_batch(self, newcomers: List[Request]):
         n = len(newcomers)
         bucket = _bucket(n, self.prefill_buckets)
         mel = np.zeros((bucket, N_SAMPLES), np.float32)
@@ -427,23 +434,47 @@ class ContinuousBatchingEngine:
         self.done = jnp.where(m, False, self.done)
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
 
+    def _fail_inflight(self, exc: BaseException):
+        """Fail every in-flight and queued request; reset slot state so the
+        loop can keep serving (failure containment — one bad batch must not
+        wedge the server)."""
+        for i, req in enumerate(self._slot_req):
+            if req is not None and not req.future.done():
+                req.future.set_exception(exc)
+            self._slot_req[i] = None
+            self._slot_prompt_len[i] = 0
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(exc)
+        self.active = jnp.zeros_like(self.active)
+        self.done = jnp.zeros_like(self.done)
+        self.stats.active_slots = 0
+        self.stats.queue_depth = 0
+
     def _run(self):
         while not self._stop.is_set():
-            has_active = any(r is not None for r in self._slot_req)
-            if not has_active and self._queue.empty():
-                try:
-                    req = self._queue.get(timeout=0.05)
-                    self._queue.put(req)
-                except queue.Empty:
-                    continue
-            t0 = time.perf_counter()
-            self._admit_new()
-            if any(r is not None for r in self._slot_req):
-                (self.tokens, self.offsets, self.done, self.rs, kv_k, kv_v) = \
-                    self._step_fn(self.params, self.tokens, self.offsets,
-                                  self.active, self.done, self.limit, self.rs,
-                                  self.kv.k, self.kv.v, self.ckv_k, self.ckv_v,
-                                  self.steps_per_sync)
-                self.kv = KVCache(kv_k, kv_v)
-                self._harvest()
-            self.stats.busy_seconds_total += time.perf_counter() - t0
+            try:
+                has_active = any(r is not None for r in self._slot_req)
+                if not has_active and self._queue.empty():
+                    try:
+                        req = self._queue.get(timeout=0.05)
+                        self._queue.put(req)
+                    except queue.Empty:
+                        continue
+                t0 = time.perf_counter()
+                self._admit_new()
+                if any(r is not None for r in self._slot_req):
+                    (self.tokens, self.offsets, self.done, self.rs, kv_k, kv_v) = \
+                        self._step_fn(self.params, self.tokens, self.offsets,
+                                      self.active, self.done, self.limit, self.rs,
+                                      self.kv.k, self.kv.v, self.ckv_k, self.ckv_v,
+                                      self.steps_per_sync)
+                    self.kv = KVCache(kv_k, kv_v)
+                    self._harvest()
+                self.stats.busy_seconds_total += time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001 — engine thread must survive
+                self._fail_inflight(e)
