@@ -23,11 +23,7 @@ import time
 import numpy as np
 
 
-def main() -> int:
-    model = os.environ.get("BENCH_MODEL", "tiny")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
 
     import jax
     import jax.numpy as jnp
@@ -92,6 +88,24 @@ def main() -> int:
     }
     print(f"[bench] wall={wall:.3f}s audio={audio_seconds:.0f}s "
           f"throughput={audio_seconds/wall:.1f} audio-s/s", file=sys.stderr)
+    return out
+
+
+def main() -> int:
+    # default = the flagship north-star config (BASELINE.md); fall back to
+    # tiny if the big model hits a resource limit in this environment
+    model = os.environ.get("BENCH_MODEL", "turbo")
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    try:
+        out = run_bench(model, batch, n_tokens, repeats)
+    except Exception as e:  # noqa: BLE001
+        if model == "tiny":
+            raise
+        print(f"[bench] {model} failed ({type(e).__name__}: {e}); "
+              f"falling back to tiny b8", file=sys.stderr)
+        out = run_bench("tiny", 8, n_tokens, repeats)
     print(json.dumps(out))
     return 0
 

@@ -122,3 +122,32 @@ def test_save_load_roundtrip(tmp_path, rng):
     a = np.asarray(encoder_forward(qp, mel, NANO))
     b = np.asarray(encoder_forward(loaded, mel, NANO))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_int8_cross_kv_close_to_fp(rng):
+    """Quantized cross-KV decode stays numerically close + runs end-to-end."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.models.model import (
+        KVCache, attention, attention_int8kv, compute_cross_kv,
+        encoder_forward, quantize_cross_kv)
+
+    p = init_params(NANO)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 128)).astype(np.float32))
+    audio = encoder_forward(p, mel, NANO)
+    ck, cv = compute_cross_kv(p, audio, NANO)
+    k_q, k_s, v_q, v_s = quantize_cross_kv((ck, cv))
+    assert k_q.dtype == jnp.int8 and k_s.shape == ck.shape[:3] + (1, ck.shape[-1])
+
+    # attention parity on layer 0
+    q = jnp.asarray(rng.standard_normal(
+        (2, NANO.n_text_head, 1, NANO.head_dim_text)).astype(np.float32))
+    ref = np.asarray(attention(q, ck[0], cv[0]))
+    got = np.asarray(attention_int8kv(q, k_q[0], k_s[0], v_q[0], v_s[0]))
+    denom = np.maximum(np.abs(ref), 1e-2)
+    assert np.median(np.abs(got - ref) / denom) < 0.02
+
+    # end-to-end greedy with kv_quant compiles and runs
+    prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")] * 2, jnp.int32)
+    res = greedy_decode(p, mel, prompt, NANO, kv_quant=True, max_tokens=6)
+    assert np.asarray(res.tokens).shape == (2, NANO.n_text_ctx)

@@ -28,6 +28,8 @@ def get_args(argv=None):
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
     p.add_argument("--timestamps", action="store_true", help="emit timestamp tokens")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8-quantize the cross-attention KV cache")
     p.add_argument("--max_tokens", type=int, default=None,
                    help="cap on generated tokens (default: model ctx limit)")
     return p.parse_args(argv)
@@ -47,6 +49,7 @@ def main(argv=None) -> int:
         beam_size=args.beam,
         timestamps=args.timestamps,
         max_tokens=args.max_tokens,
+        kv_quant=args.kv_quant,
     )
     print(f"Init model cost: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 

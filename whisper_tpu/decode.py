@@ -35,7 +35,7 @@ class GreedyResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
-                     "timestamps", "apply_filters"),
+                     "timestamps", "apply_filters", "kv_quant"),
 )
 def greedy_decode(
     params: Params,
@@ -48,6 +48,7 @@ def greedy_decode(
     suppress_ids: Optional[jnp.ndarray] = None,
     timestamps: bool = False,
     apply_filters: bool = False,
+    kv_quant: bool = False,
 ) -> GreedyResult:
     """Encoder + prefill + greedy token loop in one compiled program.
 
@@ -74,6 +75,10 @@ def greedy_decode(
 
     audio = encoder_forward(params, mel, cfg, compute_dtype)
     cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
+    if kv_quant:
+        from .models.model import quantize_cross_kv
+
+        cross_kv = quantize_cross_kv(cross_kv)
     kv = KVCache.create(cfg, B, dtype=compute_dtype)
 
     tokens = jnp.full((B, T), eot, jnp.int32)

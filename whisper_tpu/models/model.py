@@ -238,6 +238,54 @@ def compute_cross_kv(
     return ck, cv
 
 
+def quantize_cross_kv(
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dynamic int8 quantization of the cross-attention K/V (per utterance).
+
+    The decode loop reads the full cross-KV every token — at Turbo batch 64
+    that is ~1.9 GB/step in bf16, the single largest HBM stream. Symmetric
+    per-(layer, batch, head, channel) int8 halves it; the scales fold into
+    the query (for K) and the attention output (for V), so the inner matmuls
+    stay exact up to the 8-bit rounding. Returns (k_q, k_s, v_q, v_s) with
+    q int8 (L,B,H,T,dh) and s fp32 (L,B,H,1,dh).
+    """
+    def quant(x):
+        x32 = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(x32), axis=3, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+        return q, s
+
+    ck, cv = cross_kv
+    k_q, k_s = quant(ck)
+    v_q, v_s = quant(cv)
+    return k_q, k_s, v_q, v_s
+
+
+def attention_int8kv(
+    q: jnp.ndarray,    # (B, H, Tq, dh) compute dtype
+    k_q: jnp.ndarray,  # (B, H, Tk, dh) int8
+    k_s: jnp.ndarray,  # (B, H, 1, dh) fp32
+    v_q: jnp.ndarray,  # (B, H, Tk, dh) int8
+    v_s: jnp.ndarray,  # (B, H, 1, dh) fp32
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Attention against int8-quantized K/V with exact per-channel scaling."""
+    dt = q.dtype
+    dh = q.shape[-1]
+    q_scaled = (q.astype(jnp.float32) * k_s).astype(dt)  # fold K scales into q
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q_scaled, k_q.astype(dt),
+                        preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(dt), v_q.astype(dt),
+                     preferred_element_type=dt)
+    return (out.astype(jnp.float32) * v_s).astype(dt)  # fold V scales out
+
+
 # ------------------------------------------------------------------ decoder
 class KVCache(NamedTuple):
     """Self-attention KV cache, device-resident, head-major:
@@ -286,11 +334,11 @@ def decoder_forward(
     vis = key_pos <= q_pos  # (S, T) True = visible
     vis = vis[None, None]  # (1, 1, S, T)
 
-    ck, cv = cross_kv
+    kv_quant = len(cross_kv) == 4  # (k_q, k_s, v_q, v_s) from quantize_cross_kv
 
     # scan over layers; cross-kv per layer rides along as scanned inputs
     def scan_block(carry, inp):
-        p, p_ck_l, p_cv_l = inp
+        p, cross = inp[0], inp[1:]
         x, kcache, vcache, layer = carry
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
@@ -310,7 +358,12 @@ def decoder_forward(
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        o = attention(_split_heads(q, n_head), p_ck_l.astype(dt), p_cv_l.astype(dt))
+        if kv_quant:
+            o = attention_int8kv(_split_heads(q, n_head), cross[0], cross[1],
+                                 cross[2], cross[3])
+        else:
+            o = attention(_split_heads(q, n_head), cross[0].astype(dt),
+                          cross[1].astype(dt))
         x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
@@ -318,9 +371,8 @@ def decoder_forward(
         x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return (x, kcache, vcache, layer + 1), None
 
-    blocks = {k_: v_ for k_, v_ in dec["blocks"].items()}
     (x, kc, vc, _), _ = jax.lax.scan(
-        scan_block, (x, kv.k, kv.v, 0), (blocks, ck, cv))
+        scan_block, (x, kv.k, kv.v, 0), (dec["blocks"],) + tuple(cross_kv))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     # tied-embedding logits, fp32 island (export_onnx.py:377-386)
@@ -362,10 +414,10 @@ def decoder_step_multipos(
     key_pos = jnp.arange(T)[None, :]
     vis = (key_pos <= offsets[:, None])[:, None, None, :]             # (B,1,1,T)
 
-    ck, cv = cross_kv
+    kv_quant = len(cross_kv) == 4
 
     def scan_block(carry, inp):
-        p, p_ck_l, p_cv_l = inp
+        p, cross = inp[0], inp[1:]
         x, kcache, vcache, layer = carry
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
@@ -385,7 +437,12 @@ def decoder_step_multipos(
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        o = attention(_split_heads(q, n_head), p_ck_l.astype(dt), p_cv_l.astype(dt))
+        if kv_quant:
+            o = attention_int8kv(_split_heads(q, n_head), cross[0], cross[1],
+                                 cross[2], cross[3])
+        else:
+            o = attention(_split_heads(q, n_head), cross[0].astype(dt),
+                          cross[1].astype(dt))
         x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
@@ -394,7 +451,7 @@ def decoder_step_multipos(
         return (x, kcache, vcache, layer + 1), None
 
     (x, kc, vc, _), _ = jax.lax.scan(
-        scan_block, (x, kv.k, kv.v, 0), (dec["blocks"], ck, cv))
+        scan_block, (x, kv.k, kv.v, 0), (dec["blocks"],) + tuple(cross_kv))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     # tied-embedding logits: compute-dtype inputs, fp32 accumulation — a

@@ -59,6 +59,7 @@ class WhisperPipeline:
         max_tokens: Optional[int] = None,
         apply_filters: bool = True,
         quantize: bool = False,
+        kv_quant: bool = False,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -68,6 +69,7 @@ class WhisperPipeline:
         self.timestamps = timestamps
         self.max_tokens = max_tokens
         self.apply_filters = apply_filters
+        self.kv_quant = kv_quant
 
         if checkpoint is not None:
             self.params, self.cfg = load_checkpoint(checkpoint, size=model)
@@ -165,6 +167,7 @@ class WhisperPipeline:
                 suppress_ids=suppress,
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
+                kv_quant=self.kv_quant,
             )
         texts = extract_texts(result, prompts.shape[1], self.tokenizer,
                               timestamps=self.timestamps)
