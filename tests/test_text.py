@@ -24,3 +24,14 @@ def test_remove_punctuation():
 def test_postprocess_language_gate():
     assert postprocess(" 情況 ", "zh") == "情况"
     assert postprocess(" 情況 ", "en") == "情況"  # untouched for non-zh
+
+
+def test_parse_segments():
+    from whisper_tpu.text import parse_segments
+
+    segs = parse_segments("<|0.00|> hello world<|2.40|><|2.40|> next bit<|5.00|>")
+    assert segs == [(0.0, 2.4, "hello world"), (2.4, 5.0, "next bit")]
+    # unterminated final segment keeps None end
+    segs = parse_segments("<|1.00|>trailing")
+    assert segs == [(1.0, None, "trailing")]
+    assert parse_segments("no timestamps at all") == []

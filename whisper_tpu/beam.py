@@ -57,7 +57,7 @@ def _gather_beams(x: jnp.ndarray, src: jnp.ndarray, B: int, K: int) -> jnp.ndarr
     jax.jit,
     static_argnames=("cfg", "beam_size", "compute_dtype", "prompt_len",
                      "max_tokens", "timestamps", "apply_filters",
-                     "length_penalty"),
+                     "length_penalty", "kv_quant"),
 )
 def beam_search(
     params: Params,
@@ -72,6 +72,7 @@ def beam_search(
     timestamps: bool = False,
     apply_filters: bool = True,
     length_penalty: Optional[float] = None,
+    kv_quant: bool = False,
 ) -> BeamResult:
     B = mel.shape[0]
     K = beam_size
@@ -97,6 +98,10 @@ def beam_search(
         return jnp.repeat(x, K, axis=axis)
 
     ckv = (tile(ckv_k, 1), tile(ckv_v, 1))
+    if kv_quant:
+        from .models.model import quantize_cross_kv
+
+        ckv = quantize_cross_kv(ckv)
     kv = KVCache(tile(kv.k, 1), tile(kv.v, 1))
 
     tokens = jnp.full((N, T), eot, jnp.int32)

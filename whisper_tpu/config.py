@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Tuple
 
 SAMPLE_RATE = 16000
 N_FFT = 400  # canonical OpenAI value; reference python deviates to 480 (python/whisper.py:91)

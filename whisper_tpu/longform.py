@@ -21,7 +21,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .config import N_SAMPLES, SAMPLE_RATE
+from .config import N_SAMPLES
 
 
 @dataclass

@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from ..config import PRESETS, WhisperConfig, get_config
+from ..config import WhisperConfig, get_config
 from .model import Params, sinusoids
 
 

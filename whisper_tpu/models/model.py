@@ -23,7 +23,6 @@ is a single functional model:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -113,37 +112,6 @@ def attention(
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v, preferred_element_type=v.dtype)
     return out
-
-
-def attention_bthd(
-    q: jnp.ndarray,  # (B, Tq, D)
-    k: jnp.ndarray,  # (B, Tk, D)
-    v: jnp.ndarray,  # (B, Tk, D)
-    n_head: int,
-    mask: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, Tq, Tk)
-) -> jnp.ndarray:
-    """Attention over the flat (B, T, D) layout — no head transposes.
-
-    The decode hot loop reads the whole self/cross KV cache every token;
-    physically transposing it to (B, H, T, dh) each step (what _split_heads
-    does) doubles the HBM traffic that dominates decode. Here heads are
-    split by a free last-dim reshape and contracted in place:
-      scores = einsum('bqhd,bkhd->bhqk') ; out = einsum('bhqk,bkhd->bqhd').
-    Numerics identical to :func:`attention`.
-    """
-    B, Tq, D = q.shape
-    dh = D // n_head
-    qh = q.reshape(B, Tq, n_head, dh)
-    kh = k.reshape(B, k.shape[1], n_head, dh)
-    vh = v.reshape(B, v.shape[1], n_head, dh)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    scores = scores.astype(jnp.float32) * (dh ** -0.5)
-    if mask is not None:
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-    w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(vh.dtype), vh,
-                     preferred_element_type=vh.dtype)
-    return out.reshape(B, Tq, D)
 
 
 # ------------------------------------------------------------------ encoder

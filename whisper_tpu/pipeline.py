@@ -11,14 +11,14 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import N_SAMPLES, WhisperConfig, get_config
+from .config import N_SAMPLES, get_config
 from .decode import detect_language, extract_texts, greedy_decode
 from .models.checkpoint import load_checkpoint
 from .models.model import init_params
@@ -40,6 +40,13 @@ class TranscribeResult:
     def rtf(self) -> float:
         """Real-time factor = wall / audio duration (python/whisper_cli.py:62-66)."""
         return self.wall_seconds / max(self.audio_seconds, 1e-9)
+
+    @property
+    def segments(self):
+        """[(start_s, end_s, text)] when decoded with timestamps, else []."""
+        from .text import parse_segments
+
+        return parse_segments(self.text)
 
 
 class WhisperPipeline:
@@ -155,6 +162,7 @@ class WhisperPipeline:
                 suppress_ids=suppress,
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
+                kv_quant=self.kv_quant,
             )
         else:
             result = greedy_decode(

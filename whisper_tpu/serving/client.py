@@ -8,9 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 import urllib.request
-from typing import Optional
 
 
 def transcribe_file(

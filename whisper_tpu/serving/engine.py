@@ -25,7 +25,7 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -94,7 +94,7 @@ class ContinuousBatchingEngine:
         max_slots: int = 8,
         compute_dtype=jnp.bfloat16,
         steps_per_sync: int = 4,
-        prefill_buckets: Sequence[int] = (1, 2, 4, 8),
+        prefill_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
         max_tokens: Optional[int] = None,
         apply_filters: bool = True,
         timestamps: bool = False,

@@ -15,11 +15,7 @@ from __future__ import annotations
 
 import json
 import re
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
-
-import numpy as np
 
 from ..ops.audio import WavFormatError, load_audio, pcm_f32_from_bytes
 from .engine import ContinuousBatchingEngine, OverloadedError, Request

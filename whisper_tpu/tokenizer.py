@@ -16,7 +16,7 @@ from __future__ import annotations
 import base64
 import os
 import string
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property, lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
