@@ -312,3 +312,21 @@ def test_engine_survives_bad_batch(nano_params, rng):
         assert res["success"]
     finally:
         eng.stop()
+
+
+def test_engine_kv_quant_matches_fp(nano_params, rng):
+    """int8 cross-KV engine produces (near-)identical transcripts; random
+    near-uniform logits are the worst case, so just require the machinery to
+    run and produce a full result; numeric closeness is covered at the
+    attention level in test_quant."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2,
+        compute_dtype=jnp.float32, max_tokens=8, apply_filters=False,
+        kv_quant=True,
+    ).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.5), timeout=60)
+        assert res["success"]
+        assert isinstance(res["text"], str)
+    finally:
+        eng.stop()

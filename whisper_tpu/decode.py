@@ -30,6 +30,7 @@ from .models.model import (
 class GreedyResult(NamedTuple):
     tokens: jnp.ndarray  # (B, n_text_ctx) int32, prompt included, eot-padded
     lengths: jnp.ndarray  # (B,) int32: index of first eot after prompt (= total length)
+    no_speech_prob: jnp.ndarray  # (B,) fp32: P(<|nospeech|>) at the sot position
 
 
 @functools.partial(
@@ -86,6 +87,9 @@ def greedy_decode(
 
     # prefill all prompt positions in one pass
     logits, kv = decoder_forward(params, prompt, 0, kv, cross_kv, cfg, compute_dtype)
+    # OpenAI-style no-speech probability: softmax at the sot position
+    # (the reference carries the no_speech id but never uses it)
+    no_speech_prob = jax.nn.softmax(logits[:, 0], axis=-1)[:, cfg.no_speech]
     rs = RuleState.create(B)
     first = jnp.argmax(filt(logits[:, -1], rs), axis=-1).astype(jnp.int32)
     rs = rs.advance(first, cfg.timestamp_begin)
@@ -116,7 +120,8 @@ def greedy_decode(
     is_eot = tokens == eot
     pos = jnp.arange(T)[None, :]
     first_eot = jnp.min(jnp.where(jnp.logical_and(is_eot, pos >= P), pos, T), axis=1)
-    return GreedyResult(tokens=tokens, lengths=first_eot)
+    return GreedyResult(tokens=tokens, lengths=first_eot,
+                        no_speech_prob=no_speech_prob)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))

@@ -63,6 +63,95 @@ def _lcs_overlap(a: str, b: str, max_probe: int = 40) -> int:
     return 0
 
 
+def _next_pow2(n: int, cap: int = 64) -> int:
+    p = 1
+    while p < n and p < cap:
+        p *= 2
+    return p
+
+
+def transcribe_seek(pipe, waves, language: str):
+    """Timestamp-conditioned sliding-window long-form transcription.
+
+    The OpenAI-canonical strategy: decode a 30 s window WITH timestamps,
+    advance the window to the end of the last complete segment, repeat —
+    batched across all still-live utterances each round (window batches are
+    padded to powers of two to bound recompiles). Falls back to a full-window
+    advance when a window yields no complete segment.
+
+    Returns per-utterance (text, segments[(start_s, end_s, text)]).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import N_SAMPLES
+    from .decode import extract_texts, greedy_decode
+    from .ops.mel import log_mel_batch
+    from .text import parse_segments, postprocess
+
+    cfg = pipe.cfg
+    n = len(waves)
+    seeks = [0] * n
+    done = [len(w) == 0 for w in waves]
+    segments = [[] for _ in range(n)]
+    texts = [[] for _ in range(n)]
+    prompt = np.asarray([cfg.sot_sequence(language, pipe.task)[:-1]], np.int32)  # drop no_ts
+    suppress = (jnp.asarray(pipe._suppress_ids)
+                if getattr(pipe, "_suppress_ids", None) is not None else None)
+
+    while not all(done):
+        live = [i for i in range(n) if not done[i]]
+        bucket = _next_pow2(len(live))
+        batch = np.zeros((bucket, N_SAMPLES), np.float32)
+        lengths = np.zeros((bucket,), np.int32)
+        for j, i in enumerate(live):
+            win = waves[i][seeks[i] : seeks[i] + N_SAMPLES]
+            batch[j, : len(win)] = win
+            lengths[j] = len(win)
+        res = greedy_decode(
+            pipe.params, log_mel_batch(jnp.asarray(batch), jnp.asarray(lengths),
+                                       n_mels=cfg.n_mels),
+            jnp.asarray(np.tile(prompt, (bucket, 1))), cfg,
+            compute_dtype=pipe.compute_dtype, suppress_ids=suppress,
+            timestamps=True, apply_filters=True, kv_quant=pipe.kv_quant,
+            max_tokens=pipe.max_tokens,
+        )
+        win_texts = extract_texts(res, prompt.shape[1], pipe.tokenizer,
+                                  timestamps=True)
+        for j, i in enumerate(live):
+            base_s = seeks[i] / 16000.0
+            win_len = int(lengths[j])
+            last_window = seeks[i] + win_len >= len(waves[i])
+            segs = parse_segments(win_texts[j])
+            complete = [s for s in segs if s[1] is not None]
+            if last_window or not complete:
+                # keep everything; done (last window) or blind 30s advance
+                for s0, s1, txt in segs:
+                    segments[i].append((base_s + s0,
+                                        base_s + s1 if s1 is not None else None,
+                                        txt))
+                texts[i].append(" ".join(t for _, _, t in segs) if segs else "")
+                if last_window:
+                    done[i] = True
+                else:
+                    seeks[i] += N_SAMPLES
+            else:
+                advance_s = max(complete[-1][1], 1.0)
+                for s0, s1, txt in complete:
+                    segments[i].append((base_s + s0, base_s + s1, txt))
+                texts[i].append(" ".join(t for _, _, t in complete))
+                seeks[i] += int(advance_s * 16000)
+            if seeks[i] >= len(waves[i]):
+                done[i] = True
+
+    sep = "" if language in ("zh", "ja", "th", "yue") else " "
+    out = []
+    for i in range(n):
+        text = postprocess(sep.join(t for t in texts[i] if t), language)
+        out.append((text, segments[i]))
+    return out
+
+
 def merge_texts(texts: Sequence[str], language: str = "zh",
                 trim_overlap: bool = True) -> str:
     """Concatenate chunk transcripts; dedup text duplicated by audio overlap."""

@@ -35,6 +35,8 @@ class TranscribeResult:
     tokens: np.ndarray
     audio_seconds: float
     wall_seconds: float
+    no_speech_prob: float = 0.0
+    segments_list: Optional[list] = None  # explicit segments (longform seek)
 
     @property
     def rtf(self) -> float:
@@ -44,6 +46,8 @@ class TranscribeResult:
     @property
     def segments(self):
         """[(start_s, end_s, text)] when decoded with timestamps, else []."""
+        if self.segments_list is not None:
+            return self.segments_list
         from .text import parse_segments
 
         return parse_segments(self.text)
@@ -182,6 +186,8 @@ class WhisperPipeline:
         wall = time.perf_counter() - t0
         toks = np.asarray(result.tokens)
         lens = np.asarray(result.lengths)
+        nsp = (np.asarray(result.no_speech_prob)
+               if hasattr(result, "no_speech_prob") else np.zeros(len(toks)))
 
         # regroup flat chunks back into utterances
         out = []
@@ -199,6 +205,7 @@ class WhisperPipeline:
                     tokens=utt_tokens,
                     audio_seconds=len(waves[u]) / 16000.0,
                     wall_seconds=wall / len(audios),
+                    no_speech_prob=float(nsp[pos]),
                 )
             )
             pos += nc
@@ -210,6 +217,34 @@ class WhisperPipeline:
         language: Optional[str] = None,
     ) -> TranscribeResult:
         return self.transcribe_batch([audio], language=language)[0]
+
+    def transcribe_longform(
+        self,
+        audios: Sequence[Union[str, bytes, np.ndarray]],
+        language: Optional[str] = None,
+    ) -> List[TranscribeResult]:
+        """Seek-based long-form: timestamp-conditioned sliding windows
+        (OpenAI-canonical), batched across utterances. The default
+        transcribe_batch uses fixed windows instead; this strategy tracks
+        segment boundaries so windows never cut words."""
+        from .longform import transcribe_seek
+
+        t0 = time.perf_counter()
+        language = language or self.language or "en"
+        waves = [load_audio(a) for a in audios]
+        results = transcribe_seek(self, waves, language)
+        wall = time.perf_counter() - t0
+        return [
+            TranscribeResult(
+                text=text,
+                language=language,
+                tokens=np.zeros((0,), np.int32),
+                audio_seconds=len(w) / 16000.0,
+                wall_seconds=wall / len(audios),
+                segments_list=segs,
+            )
+            for (text, segs), w in zip(results, waves)
+        ]
 
     # convenience alias matching the reference's ``Whisper.run``
     def run(self, audio: Union[str, np.ndarray]) -> str:

@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps_per_sync", type=int, default=4)
     p.add_argument("--max_tokens", type=int, default=None)
     p.add_argument("--timestamps", action="store_true")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8-quantize the cross-attention KV state")
     p.add_argument("--timeout", type=float, default=300.0)
     args = p.parse_args(argv)
 
@@ -47,6 +49,7 @@ def main(argv=None) -> int:
         steps_per_sync=args.steps_per_sync,
         max_tokens=args.max_tokens,
         timestamps=args.timestamps,
+        kv_quant=args.kv_quant,
     ).start()
 
     srv = make_server(engine, args.host, args.port, request_timeout_s=args.timeout)

@@ -99,6 +99,7 @@ class ContinuousBatchingEngine:
         apply_filters: bool = True,
         timestamps: bool = False,
         max_queue: int = 256,
+        kv_quant: bool = False,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -109,6 +110,7 @@ class ContinuousBatchingEngine:
         self.max_tokens = max_tokens
         self.apply_filters = apply_filters
         self.timestamps = timestamps
+        self.kv_quant = kv_quant
 
         from ..models.model import cast_floating
 
@@ -126,8 +128,20 @@ class ContinuousBatchingEngine:
         # device-resident slot state
         self.kv = KVCache.create(cfg, B, dtype=compute_dtype)
         H, dh = cfg.n_text_head, cfg.head_dim_text
-        self.ckv_k = jnp.zeros((L, B, H, Ta, dh), compute_dtype)
-        self.ckv_v = jnp.zeros((L, B, H, Ta, dh), compute_dtype)
+        # cross-attention state as a tuple of parts: (k, v) in compute dtype,
+        # or int8 payloads + fp32 scales when kv_quant is on
+        if kv_quant:
+            self.cross = (
+                jnp.zeros((L, B, H, Ta, dh), jnp.int8),
+                jnp.zeros((L, B, H, 1, dh), jnp.float32),
+                jnp.zeros((L, B, H, Ta, dh), jnp.int8),
+                jnp.zeros((L, B, H, 1, dh), jnp.float32),
+            )
+        else:
+            self.cross = (
+                jnp.zeros((L, B, H, Ta, dh), compute_dtype),
+                jnp.zeros((L, B, H, Ta, dh), compute_dtype),
+            )
         self.tokens = jnp.full((B, T), cfg.eot, jnp.int32)
         self.offsets = jnp.zeros((B,), jnp.int32)   # next write position
         self.active = jnp.zeros((B,), bool)
@@ -179,14 +193,14 @@ class ContinuousBatchingEngine:
         use_rules = self.apply_filters or timestamps or suppress is not None
 
         def steps(params, tokens, offsets, active, done, limit, rs,
-                  kv_k, kv_v, ckv_k, ckv_v, n_steps):
+                  kv_k, kv_v, cross, n_steps):
             def one(carry, _):
                 tokens, offsets, done, rs, kv_k, kv_v = carry
                 cur = jnp.take_along_axis(tokens, jnp.maximum(offsets - 1, 0)[:, None],
                                           axis=1)[:, 0]
                 logits, kv = decoder_step_multipos(
                     params, cur, offsets - 1, KVCache(kv_k, kv_v),
-                    (ckv_k, ckv_v), cfg, dt)
+                    cross, cfg, dt)
                 if use_rules:
                     logits = apply_rules(logits, rs, cfg, suppress_ids=suppress,
                                          timestamps=timestamps)
@@ -213,12 +227,18 @@ class ContinuousBatchingEngine:
     def _encode_fn(self):
         cfg, dt = self.cfg, self.dt
 
+        kv_quant = self.kv_quant
+
         def encode(params, mel, lengths):
             mel_feat = log_mel_batch(mel, lengths, n_mels=cfg.n_mels)
             mel_feat = mel_feat[..., : 2 * cfg.n_audio_ctx]
             audio = encoder_forward(params, mel_feat, cfg, dt)
             ckv = compute_cross_kv(params, audio, cfg, dt)
-            return ckv[0], ckv[1]
+            if kv_quant:
+                from ..models.model import quantize_cross_kv
+
+                return quantize_cross_kv(ckv)
+            return tuple(ckv)
 
         return jax.jit(encode)
 
@@ -228,11 +248,11 @@ class ContinuousBatchingEngine:
         documents 'auto' but never implements it, ax_whisper_api.h:40)."""
         cfg, dt = self.cfg, self.dt
 
-        def detect(params, ckv_k, ckv_v):
-            B = ckv_k.shape[1]
+        def detect(params, cross):
+            B = cross[0].shape[1]
             kv = KVCache.create(cfg, B, dtype=dt)
             sot = jnp.full((B, 1), cfg.sot, jnp.int32)
-            logits, _ = decoder_forward(params, sot, 0, kv, (ckv_k, ckv_v), cfg, dt)
+            logits, _ = decoder_forward(params, sot, 0, kv, cross, cfg, dt)
             lang_logits = jax.lax.dynamic_slice_in_dim(
                 logits[:, 0], cfg.lang_token_start, cfg.num_languages, axis=-1)
             return jnp.argmax(lang_logits, axis=-1)
@@ -243,9 +263,9 @@ class ContinuousBatchingEngine:
     def _prefill_fn(self):
         cfg, dt = self.cfg, self.dt
 
-        def prefill(params, ckv_k, ckv_v, prompt):
+        def prefill(params, cross, prompt):
             kv = KVCache.create(cfg, prompt.shape[0], dtype=dt)
-            logits, kv = decoder_forward(params, prompt, 0, kv, (ckv_k, ckv_v), cfg, dt)
+            logits, kv = decoder_forward(params, prompt, 0, kv, cross, cfg, dt)
             return logits[:, -1], kv.k, kv.v
 
         return jax.jit(prefill)
@@ -254,10 +274,10 @@ class ContinuousBatchingEngine:
     def _admit_fn(self):
         """Scatter prefilled newcomer state into slots."""
 
-        def admit(slot_idx, src_logits, src_kvk, src_kvv, src_ck, src_cv,
+        def admit(slot_idx, src_logits, src_kvk, src_kvv, src_cross,
                   first_tok, prompt_len, lim,
                   tokens, offsets, active, done, limit, rs,
-                  kv_k, kv_v, ckv_k, ckv_v, prompt, n_valid):
+                  kv_k, kv_v, cross, prompt, n_valid):
             # slot_idx: (Bn,) target slots; entries >= B are padding (dropped)
             B = tokens.shape[0]
             T = tokens.shape[1]
@@ -267,8 +287,8 @@ class ContinuousBatchingEngine:
 
             kv_k = kv_k.at[:, safe].set(src_kvk, mode="drop")
             kv_v = kv_v.at[:, safe].set(src_kvv, mode="drop")
-            ckv_k = ckv_k.at[:, safe].set(src_ck, mode="drop")
-            ckv_v = ckv_v.at[:, safe].set(src_cv, mode="drop")
+            cross = tuple(dst.at[:, safe].set(src, mode="drop")
+                          for dst, src in zip(cross, src_cross))
 
             row = jnp.full((Bn, T), self.cfg.eot, jnp.int32)
             row = jax.lax.dynamic_update_slice(row, prompt, (0, 0))
@@ -288,9 +308,9 @@ class ContinuousBatchingEngine:
                     mode="drop"),
                 n_sampled=rs.n_sampled.at[safe].set(1, mode="drop"),
             )
-            return tokens, offsets, active, done, limit, rs, kv_k, kv_v, ckv_k, ckv_v
+            return tokens, offsets, active, done, limit, rs, kv_k, kv_v, cross
 
-        return jax.jit(admit, donate_argnums=(9, 10, 11, 12, 13, 15, 16, 17, 18))
+        return jax.jit(admit, donate_argnums=(8, 9, 10, 11, 12, 14, 15, 16))
 
     # ------------------------------------------------------------- worker loop
     def _free_slots(self) -> List[int]:
@@ -326,14 +346,14 @@ class ContinuousBatchingEngine:
             mel[i, : len(a)] = a
             lengths[i] = len(a)
 
-        ck, cv = self._encode_fn(self.params, jnp.asarray(mel), jnp.asarray(lengths))
+        src_cross = self._encode_fn(self.params, jnp.asarray(mel), jnp.asarray(lengths))
 
         # resolve "auto" languages with one [sot] decode step over the batch
         if any(r.language in (None, "auto") for r in newcomers):
             from ..tokenizer import LANGUAGES
 
             codes = list(LANGUAGES.keys())
-            lang_idx = np.asarray(self._detect_fn(self.params, ck, cv))
+            lang_idx = np.asarray(self._detect_fn(self.params, src_cross))
             for i, r in enumerate(newcomers):
                 if r.language in (None, "auto"):
                     r.language = codes[int(lang_idx[i])]
@@ -347,7 +367,7 @@ class ContinuousBatchingEngine:
         for i in range(n, bucket):
             prompts[i] = prompts[0]
 
-        logits, kvk, kvv = self._prefill_fn(self.params, ck, cv, jnp.asarray(prompts))
+        logits, kvk, kvv = self._prefill_fn(self.params, src_cross, jnp.asarray(prompts))
         rs0 = RuleState.create(bucket)
         if self.apply_filters or self.timestamps or self._suppress is not None:
             logits = apply_rules(logits, rs0, self.cfg, suppress_ids=self._suppress,
@@ -362,11 +382,11 @@ class ContinuousBatchingEngine:
             lim = min(lim, P + self.max_tokens)
 
         (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
-         kv_k, kv_v, self.ckv_k, self.ckv_v) = self._admit_fn(
-            jnp.asarray(slot_idx), logits, kvk, kvv, ck, cv,
+         kv_k, kv_v, self.cross) = self._admit_fn(
+            jnp.asarray(slot_idx), logits, kvk, kvv, src_cross,
             first, jnp.full((bucket,), P, jnp.int32), jnp.int32(lim),
             self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
-            self.kv.k, self.kv.v, self.ckv_k, self.ckv_v,
+            self.kv.k, self.kv.v, self.cross,
             jnp.asarray(prompts), jnp.int32(n))
         self.kv = KVCache(kv_k, kv_v)
 
@@ -471,7 +491,7 @@ class ContinuousBatchingEngine:
                     (self.tokens, self.offsets, self.done, self.rs, kv_k, kv_v) = \
                         self._step_fn(self.params, self.tokens, self.offsets,
                                       self.active, self.done, self.limit, self.rs,
-                                      self.kv.k, self.kv.v, self.ckv_k, self.ckv_v,
+                                      self.kv.k, self.kv.v, self.cross,
                                       self.steps_per_sync)
                     self.kv = KVCache(kv_k, kv_v)
                     self._harvest()
