@@ -28,6 +28,10 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from whisper_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
+
     from whisper_tpu.config import N_SAMPLES, get_config
     from whisper_tpu.decode import greedy_decode
     from whisper_tpu.models.model import init_params

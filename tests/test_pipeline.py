@@ -111,3 +111,49 @@ def test_demo_wav_through_nano(demo_wav_path, nano_params):
     prompt = np.asarray([NANO.sot_sequence("zh", "transcribe")], np.int32)
     res = greedy_decode(nano_params, mel_small, jnp.asarray(prompt), NANO)
     assert np.asarray(res.tokens).shape == (1, NANO.n_text_ctx)
+
+
+def test_temperature_sampling_varies(nano_params, rng):
+    """temperature>0 samples stochastically (different seeds differ),
+    temperature=0 stays deterministic; avg_logprob populated."""
+    mel = _mel(rng)
+    prompt = np.asarray([NANO.sot_sequence("en", "transcribe")], np.int32)
+    g0a = greedy_decode(nano_params, mel, jnp.asarray(prompt), NANO, max_tokens=10)
+    g0b = greedy_decode(nano_params, mel, jnp.asarray(prompt), NANO, max_tokens=10)
+    np.testing.assert_array_equal(np.asarray(g0a.tokens), np.asarray(g0b.tokens))
+    assert np.isfinite(np.asarray(g0a.avg_logprob)).all()
+    assert (np.asarray(g0a.avg_logprob) <= 0).all()
+
+    t1 = greedy_decode(nano_params, mel, jnp.asarray(prompt), NANO,
+                       max_tokens=10, temperature=1.0, seed=1)
+    t2 = greedy_decode(nano_params, mel, jnp.asarray(prompt), NANO,
+                       max_tokens=10, temperature=1.0, seed=2)
+    assert not np.array_equal(np.asarray(t1.tokens), np.asarray(t2.tokens))
+
+
+def test_avg_logprob_matches_teacher_forced(nano_params, rng):
+    """Greedy avg_logprob equals mean of per-token logprobs (no filters)."""
+    import jax
+
+    from whisper_tpu.models.model import (
+        KVCache, compute_cross_kv, decoder_forward, encoder_forward)
+
+    mel = _mel(rng)
+    prompt = np.asarray([NANO.sot_sequence("zh", "transcribe")], np.int32)
+    res = greedy_decode(nano_params, mel, jnp.asarray(prompt), NANO, max_tokens=8)
+    toks = np.asarray(res.tokens)[0]
+    P = 4
+    # random weights never sample eot: exactly max_tokens=8 sampled tokens;
+    # the buffer's trailing eots were never sampled and carry no logprob
+    n_sampled = 8
+    seq = toks[: P + n_sampled]
+
+    audio = encoder_forward(nano_params, mel, NANO)
+    ckv = compute_cross_kv(nano_params, audio, NANO)
+    kv = KVCache.create(NANO, 1)
+    logits, _ = decoder_forward(nano_params, jnp.asarray(seq[None, :-1]), 0, kv, ckv, NANO)
+    lp = np.asarray(jax.nn.log_softmax(np.asarray(logits)[0], axis=-1))
+    picked = lp[np.arange(P - 1, P + n_sampled - 1), seq[P:]]
+    expect = picked.mean()
+    got = float(np.asarray(res.avg_logprob)[0])
+    assert abs(got - expect) < 1e-3

@@ -37,6 +37,9 @@ def get_args(argv=None):
 
 def main(argv=None) -> int:
     args = get_args(argv)
+    from .utils import compilation_cache
+
+    compilation_cache.enable()
     from .pipeline import WhisperPipeline
 
     t0 = time.perf_counter()

@@ -31,12 +31,14 @@ class GreedyResult(NamedTuple):
     tokens: jnp.ndarray  # (B, n_text_ctx) int32, prompt included, eot-padded
     lengths: jnp.ndarray  # (B,) int32: index of first eot after prompt (= total length)
     no_speech_prob: jnp.ndarray  # (B,) fp32: P(<|nospeech|>) at the sot position
+    avg_logprob: jnp.ndarray  # (B,) fp32: mean logprob of sampled tokens (incl. eot)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
-                     "timestamps", "apply_filters", "kv_quant"),
+                     "timestamps", "apply_filters", "kv_quant",
+                     "temperature", "seed"),
 )
 def greedy_decode(
     params: Params,
@@ -50,6 +52,8 @@ def greedy_decode(
     timestamps: bool = False,
     apply_filters: bool = False,
     kv_quant: bool = False,
+    temperature: float = 0.0,
+    seed: int = 0,
 ) -> GreedyResult:
     """Encoder + prefill + greedy token loop in one compiled program.
 
@@ -91,37 +95,58 @@ def greedy_decode(
     # (the reference carries the no_speech id but never uses it)
     no_speech_prob = jax.nn.softmax(logits[:, 0], axis=-1)[:, cfg.no_speech]
     rs = RuleState.create(B)
-    first = jnp.argmax(filt(logits[:, -1], rs), axis=-1).astype(jnp.int32)
+    key = jax.random.PRNGKey(seed)
+
+    def sample(logits_f, step_key):
+        """argmax at temperature 0, categorical otherwise; returns
+        (token, its logprob under the filtered distribution)."""
+        lp = jax.nn.log_softmax(logits_f.astype(jnp.float32), axis=-1)
+        if temperature and temperature > 0:
+            tok = jax.random.categorical(step_key, lp / temperature, axis=-1)
+        else:
+            tok = jnp.argmax(lp, axis=-1)
+        tok = tok.astype(jnp.int32)
+        return tok, jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+
+    key, sub = jax.random.split(key)
+    first, first_lp = sample(filt(logits[:, -1], rs), sub)
     rs = rs.advance(first, cfg.timestamp_begin)
     tokens = jax.lax.dynamic_update_slice(tokens, first[:, None], (0, P))
     done = first == eot
+    sum_lp = first_lp
+    n_lp = jnp.ones((B,), jnp.float32)
 
     def cond(state):
-        tokens, k, v, i, done, rs = state
+        tokens, k, v, i, done, rs, key, sum_lp, n_lp = state
         return jnp.logical_and(i < limit - 1, jnp.logical_not(jnp.all(done)))
 
     def body(state):
-        tokens, k, v, i, done, rs = state
+        tokens, k, v, i, done, rs, key, sum_lp, n_lp = state
         tok_i = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
         logits, new_kv = decoder_forward(
             params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype
         )
-        nxt = jnp.argmax(filt(logits[:, 0], rs), axis=-1).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        nxt, lp = sample(filt(logits[:, 0], rs), sub)
         nxt = jnp.where(done, eot, nxt)
+        alive = jnp.logical_not(done)
+        sum_lp = sum_lp + jnp.where(alive, lp, 0.0)
+        n_lp = n_lp + alive.astype(jnp.float32)
         rs = rs.advance(nxt, cfg.timestamp_begin)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
         done = jnp.logical_or(done, nxt == eot)
-        return tokens, new_kv.k, new_kv.v, i + 1, done, rs
+        return tokens, new_kv.k, new_kv.v, i + 1, done, rs, key, sum_lp, n_lp
 
-    tokens, _, _, final_i, done, _ = jax.lax.while_loop(
-        cond, body, (tokens, kv.k, kv.v, jnp.int32(P), done, rs)
+    tokens, _, _, final_i, done, _, _, sum_lp, n_lp = jax.lax.while_loop(
+        cond, body, (tokens, kv.k, kv.v, jnp.int32(P), done, rs, key, sum_lp, n_lp)
     )
 
     is_eot = tokens == eot
     pos = jnp.arange(T)[None, :]
     first_eot = jnp.min(jnp.where(jnp.logical_and(is_eot, pos >= P), pos, T), axis=1)
     return GreedyResult(tokens=tokens, lengths=first_eot,
-                        no_speech_prob=no_speech_prob)
+                        no_speech_prob=no_speech_prob,
+                        avg_logprob=sum_lp / jnp.maximum(n_lp, 1.0))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))

@@ -71,6 +71,11 @@ class WhisperPipeline:
         apply_filters: bool = True,
         quantize: bool = False,
         kv_quant: bool = False,
+        temperature: float = 0.0,
+        temperature_fallback: Optional[bool] = None,
+        compression_ratio_threshold: float = 2.4,
+        logprob_threshold: float = -1.0,
+        no_speech_threshold: float = 0.6,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -81,6 +86,14 @@ class WhisperPipeline:
         self.max_tokens = max_tokens
         self.apply_filters = apply_filters
         self.kv_quant = kv_quant
+        self.temperature = temperature
+        # whisper's retry ladder only makes sense with trained weights
+        self.temperature_fallback = (
+            temperature_fallback if temperature_fallback is not None
+            else checkpoint is not None)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
 
         if checkpoint is not None:
             self.params, self.cfg = load_checkpoint(checkpoint, size=model)
@@ -180,7 +193,10 @@ class WhisperPipeline:
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
                 kv_quant=self.kv_quant,
+                temperature=self.temperature,
             )
+            if self.temperature_fallback:
+                result = self._temperature_retry(result, mel, prompts, suppress)
         texts = extract_texts(result, prompts.shape[1], self.tokenizer,
                               timestamps=self.timestamps)
         wall = time.perf_counter() - t0
@@ -210,6 +226,67 @@ class WhisperPipeline:
             )
             pos += nc
         return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        import zlib
+
+        raw = text.encode("utf-8")
+        if not raw:
+            return 0.0
+        return len(raw) / max(len(zlib.compress(raw)), 1)
+
+    def _needs_retry(self, result, prompts) -> np.ndarray:
+        """OpenAI failure criteria: repetitive text or low confidence."""
+        texts = extract_texts(result, prompts.shape[1], self.tokenizer,
+                              timestamps=self.timestamps)
+        avg_lp = np.asarray(result.avg_logprob)
+        bad = np.zeros(len(texts), bool)
+        for i, t in enumerate(texts):
+            if self._compression_ratio(t) > self.compression_ratio_threshold:
+                bad[i] = True
+            elif avg_lp[i] < self.logprob_threshold:
+                bad[i] = True
+        return bad
+
+    def _temperature_retry(self, result, mel, prompts, suppress):
+        """Whisper's temperature ladder: re-decode failed utterances at
+        increasing temperatures until the quality criteria pass
+        (OpenAI decode semantics the reference has no equivalent of)."""
+        ladder = [t for t in (0.2, 0.4, 0.6, 0.8, 1.0) if t > self.temperature]
+        for temp in ladder:
+            bad = self._needs_retry(result, prompts)
+            if not bad.any():
+                break
+            idx = np.nonzero(bad)[0]
+            sub = greedy_decode(
+                self.params,
+                mel[idx],
+                jnp.asarray(prompts[idx]),
+                self.cfg,
+                compute_dtype=self.compute_dtype,
+                max_tokens=self.max_tokens,
+                suppress_ids=suppress,
+                timestamps=self.timestamps,
+                apply_filters=self.apply_filters,
+                kv_quant=self.kv_quant,
+                temperature=temp,
+                seed=int(temp * 1000),
+            )
+            tokens = np.asarray(result.tokens)
+            lengths = np.asarray(result.lengths)
+            avg_lp = np.asarray(result.avg_logprob)
+            tokens[idx] = np.asarray(sub.tokens)
+            lengths[idx] = np.asarray(sub.lengths)
+            avg_lp[idx] = np.asarray(sub.avg_logprob)
+            from .decode import GreedyResult
+
+            result = GreedyResult(
+                tokens=jnp.asarray(tokens), lengths=jnp.asarray(lengths),
+                no_speech_prob=result.no_speech_prob,
+                avg_logprob=jnp.asarray(avg_lp))
+        return result
 
     def transcribe(
         self,

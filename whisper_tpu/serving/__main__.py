@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("--timeout", type=float, default=300.0)
     args = p.parse_args(argv)
 
+    from ..utils import compilation_cache
+
+    compilation_cache.enable()
     import jax.numpy as jnp
 
     from ..config import get_config
