@@ -55,12 +55,15 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
         np.tile(np.asarray([cfg.sot_sequence("zh", "transcribe")], np.int32), (batch, 1))
     )
 
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "0") == "1"
+
     def run():
         mel = log_mel_batch(audio, lengths, n_mels=cfg.n_mels)
         res = greedy_decode(
             params, mel, prompt, cfg,
             compute_dtype=jnp.bfloat16,
             max_tokens=n_tokens,
+            kv_quant=kv_quant,
         )
         # materialize on host: block_until_ready is unreliable on the axon
         # tunnel platform, a device->host copy is not
@@ -85,7 +88,7 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
     baseline_rtf = {"tiny": 0.08, "base": 0.11, "small": 0.24,
                     "turbo": 0.48}.get(model, 0.08)
     out = {
-        "metric": f"rtf_{model}_b{batch}_t{n_tokens}",
+        "metric": f"rtf_{model}_b{batch}_t{n_tokens}" + ("_kvq" if kv_quant else ""),
         "value": round(rtf, 6),
         "unit": "wall_s/audio_s (lower=better)",
         "vs_baseline": round(baseline_rtf / rtf, 3),

@@ -62,12 +62,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_pad: int, scale:
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "q_tile"))
 def flash_attention(
     q: jnp.ndarray,  # (B, H, Tq, dh)
     k: jnp.ndarray,  # (B, H, Tk, dh)
     v: jnp.ndarray,  # (B, H, Tk, dh)
     interpret: bool = False,
+    q_tile: int = Q_TILE,
 ) -> jnp.ndarray:
     """Bidirectional (no causal mask) attention; softmax in fp32.
 
@@ -78,9 +79,9 @@ def flash_attention(
     Tk = k.shape[2]
     scale = dh ** -0.5
 
-    tq_pad = _round_up(max(Tq, 8), Q_TILE if Tq >= Q_TILE else 8)
+    tq_pad = _round_up(max(Tq, 8), q_tile if Tq >= q_tile else 8)
     tk_pad = _round_up(max(Tk, 8), _LANE)
-    q_tile = min(Q_TILE, tq_pad)
+    q_tile = min(q_tile, tq_pad)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_pad - Tq), (0, 0))).reshape(B * H, tq_pad, dh)
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_pad - Tk), (0, 0))).reshape(B * H, tk_pad, dh)
