@@ -9,7 +9,6 @@ stubs (cpp/src/api/ax_whisper_api.h:40).
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Union

@@ -157,7 +157,6 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self._jit_cache: Dict[int, object] = {}
 
     # ------------------------------------------------------------- API
     def submit(self, req: Request) -> Future:
