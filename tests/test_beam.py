@@ -114,3 +114,11 @@ def test_beam_prompt_preserved(params, rng):
     # tail after length is eot
     toks, lens = np.asarray(res.tokens), np.asarray(res.lengths)
     assert (toks[0, lens[0]:] == NANO.eot).all()
+
+
+def test_beam_no_speech_prob(params, rng):
+    res = beam_search(params, _mel(rng, b=2), _prompt(2), NANO, beam_size=2,
+                      apply_filters=False, max_tokens=6)
+    p = np.asarray(res.no_speech_prob)
+    assert p.shape == (2,)
+    assert ((p >= 0) & (p <= 1)).all()

@@ -35,6 +35,8 @@ class BeamResult(NamedTuple):
     scores: jnp.ndarray   # (B,) normalized log-prob of the winner
     all_tokens: jnp.ndarray  # (B, K, n_text_ctx) full finished set
     all_scores: jnp.ndarray  # (B, K)
+    no_speech_prob: jnp.ndarray  # (B,) P(<|nospeech|>) at the sot position
+    avg_logprob: jnp.ndarray     # (B,) alias of the winner's normalized score
 
 
 def _norm_score(raw: jnp.ndarray, length: jnp.ndarray, alpha: Optional[float]):
@@ -93,6 +95,8 @@ def beam_search(
     ckv_k, ckv_v = compute_cross_kv(params, audio, cfg, compute_dtype)
     kv = KVCache.create(cfg, B, dtype=compute_dtype)
     logits, kv = decoder_forward(params, prompt, 0, kv, (ckv_k, ckv_v), cfg, compute_dtype)
+    no_speech_prob = jax.nn.softmax(logits[:, 0].astype(jnp.float32),
+                                    axis=-1)[:, cfg.no_speech]
 
     def tile(x, axis):  # repeat each utterance K times along `axis`
         return jnp.repeat(x, K, axis=axis)
@@ -233,4 +237,5 @@ def beam_search(
     pos = jnp.arange(T)[None, :]
     best_tokens = jnp.where(pos >= best_lens[:, None], eot, best_tokens)
     return BeamResult(best_tokens, best_lens, best_scores,
-                      out.fin_tokens, out.fin_scores)
+                      out.fin_tokens, out.fin_scores,
+                      no_speech_prob=no_speech_prob, avg_logprob=best_scores)
