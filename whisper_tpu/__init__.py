@@ -14,6 +14,19 @@ from .tokenizer import Tokenizer, get_tokenizer, LANGUAGES
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):  # lazy heavyweight entry points
+    if name == "greedy_decode":
+        from .decode import greedy_decode
+
+        return greedy_decode
+    if name == "beam_search":
+        from .beam import beam_search
+
+        return beam_search
+    raise AttributeError(name)
+
+
 __all__ = [
     "WhisperConfig",
     "get_config",
@@ -23,5 +36,7 @@ __all__ = [
     "Tokenizer",
     "get_tokenizer",
     "LANGUAGES",
+    "greedy_decode",
+    "beam_search",
     "__version__",
 ]
