@@ -95,20 +95,24 @@ def greedy_decode(
     # (the reference carries the no_speech id but never uses it)
     no_speech_prob = jax.nn.softmax(logits[:, 0], axis=-1)[:, cfg.no_speech]
     rs = RuleState.create(B)
-    key = jax.random.PRNGKey(seed)
+    stochastic = bool(temperature and temperature > 0)
+    key = jax.random.PRNGKey(seed)  # unused (dead-code-eliminated) if greedy
 
     def sample(logits_f, step_key):
         """argmax at temperature 0, categorical otherwise; returns
         (token, its logprob under the filtered distribution)."""
         lp = jax.nn.log_softmax(logits_f.astype(jnp.float32), axis=-1)
-        if temperature and temperature > 0:
+        if stochastic:
             tok = jax.random.categorical(step_key, lp / temperature, axis=-1)
         else:
             tok = jnp.argmax(lp, axis=-1)
         tok = tok.astype(jnp.int32)
         return tok, jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
 
-    key, sub = jax.random.split(key)
+    if stochastic:
+        key, sub = jax.random.split(key)
+    else:
+        sub = key
     first, first_lp = sample(filt(logits[:, -1], rs), sub)
     rs = rs.advance(first, cfg.timestamp_begin)
     tokens = jax.lax.dynamic_update_slice(tokens, first[:, None], (0, P))
@@ -126,7 +130,10 @@ def greedy_decode(
         logits, new_kv = decoder_forward(
             params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype
         )
-        key, sub = jax.random.split(key)
+        if stochastic:
+            key, sub = jax.random.split(key)
+        else:
+            sub = key
         nxt, lp = sample(filt(logits[:, 0], rs), sub)
         nxt = jnp.where(done, eot, nxt)
         alive = jnp.logical_not(done)
