@@ -195,10 +195,11 @@ class ContinuousBatchingEngine:
                   kv_k, kv_v, cross, n_steps):
             def one(carry, _):
                 tokens, offsets, done, rs, kv_k, kv_v = carry
-                cur = jnp.take_along_axis(tokens, jnp.maximum(offsets - 1, 0)[:, None],
-                                          axis=1)[:, 0]
+                # clamp: empty slots sit at offset 0; -1 would wrap to T-1
+                pos = jnp.maximum(offsets - 1, 0)
+                cur = jnp.take_along_axis(tokens, pos[:, None], axis=1)[:, 0]
                 logits, kv = decoder_step_multipos(
-                    params, cur, offsets - 1, KVCache(kv_k, kv_v),
+                    params, cur, pos, KVCache(kv_k, kv_v),
                     cross, cfg, dt)
                 if use_rules:
                     logits = apply_rules(logits, rs, cfg, suppress_ids=suppress,
