@@ -122,3 +122,21 @@ def test_beam_no_speech_prob(params, rng):
     p = np.asarray(res.no_speech_prob)
     assert p.shape == (2,)
     assert ((p >= 0) & (p <= 1)).all()
+
+
+def test_beam_with_timestamps_grammar(params, rng):
+    """Beam + timestamp rules: outputs obey the pair/monotonicity grammar."""
+    mel = _mel(rng)
+    prompt = jnp.asarray(
+        np.asarray([NANO.sot_sequence("zh", "transcribe")[:-1]], np.int32))
+    res = beam_search(params, mel, prompt, NANO, beam_size=3,
+                      timestamps=True, apply_filters=True, max_tokens=10)
+    toks = np.asarray(res.tokens)[0]
+    lens = int(np.asarray(res.lengths)[0])
+    gen = [int(t) for t in toks[3:lens]]
+    ts0 = NANO.timestamp_begin
+    # first sampled token must be a timestamp within the initial cap
+    assert gen and ts0 <= gen[0] <= ts0 + 50
+    # timestamps never decrease along the sequence
+    stamps = [t for t in gen if t >= ts0]
+    assert stamps == sorted(stamps)

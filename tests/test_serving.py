@@ -330,3 +330,21 @@ def test_engine_kv_quant_matches_fp(nano_params, rng):
         assert isinstance(res["text"], str)
     finally:
         eng.stop()
+
+
+def test_engine_timestamps_mode(nano_params, rng):
+    """Engine with timestamps=True: 3-token prompt, grammar-filtered decode."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2,
+        compute_dtype=jnp.float32, max_tokens=8,
+        apply_filters=True, timestamps=True,
+    ).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.5), timeout=60)
+        assert res["success"]
+        ids = [int(s) for s in res["text"].split()] if res["text"] else []
+        ts0 = NANO.timestamp_begin
+        if ids:  # first sampled token is a timestamp under the grammar
+            assert ids[0] >= ts0
+    finally:
+        eng.stop()
