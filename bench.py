@@ -41,12 +41,15 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
     print(f"[bench] devices={jax.devices()} model={model} batch={batch} "
           f"tokens={n_tokens}", file=sys.stderr)
 
+    t0 = time.perf_counter()
     params = init_params(cfg, jax.random.PRNGKey(0))
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
         params,
     )
     params = jax.device_put(params)
+    jax.block_until_ready(params)
+    print(f"[bench] params ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1)
@@ -69,6 +72,7 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
         # tunnel platform, a device->host copy is not
         return np.asarray(res.tokens), np.asarray(res.lengths)
 
+    print("[bench] compiling decode program...", file=sys.stderr)
     t0 = time.perf_counter()
     toks, lens = run()
     compile_s = time.perf_counter() - t0

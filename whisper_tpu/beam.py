@@ -213,7 +213,31 @@ def beam_search(
         fin_lens=fin_lens,
         i=jnp.int32(P),
     )
-    out = jax.lax.while_loop(cond, body, init)
+
+    # The AOT TPU compiler's while_loop cost explodes with carry ARITY, so
+    # the 13-leaf Carry is packed to 7 leaves at the loop boundary:
+    # (B,K) float stats -> one (B,K,4) array, RuleState -> one (N,4) array.
+    # n_gen/fin_lens are exact in f32 (<= n_text_ctx = 448 << 2^24).
+    def pack(c: Carry):
+        fp = jnp.stack([c.scores, c.n_gen.astype(jnp.float32),
+                        c.fin_scores, c.fin_lens.astype(jnp.float32)], axis=2)
+        rp = jnp.stack([c.rs.last, c.rs.penult, c.rs.max_ts, c.rs.n_sampled], axis=1)
+        return (c.tokens, fp, c.kv_k, c.kv_v, rp, c.fin_tokens, c.i)
+
+    def unpack(t) -> Carry:
+        tokens_, fp, kv_k, kv_v, rp, fin_tokens_, i = t
+        return Carry(
+            tokens=tokens_, scores=fp[:, :, 0],
+            n_gen=fp[:, :, 1].astype(jnp.int32),
+            kv_k=kv_k, kv_v=kv_v,
+            rs=RuleState(rp[:, 0], rp[:, 1], rp[:, 2], rp[:, 3]),
+            fin_scores=fp[:, :, 2], fin_tokens=fin_tokens_,
+            fin_lens=fp[:, :, 3].astype(jnp.int32), i=i)
+
+    out = unpack(jax.lax.while_loop(
+        lambda t: cond(unpack(t)),
+        lambda t: pack(body(unpack(t))),
+        pack(init)))
 
     # utterances with an empty finished set fall back to the best running beam
     run_norm = _norm_score(out.scores, out.n_gen, length_penalty)

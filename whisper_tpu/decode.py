@@ -117,36 +117,68 @@ def greedy_decode(
     rs = rs.advance(first, cfg.timestamp_begin)
     tokens = jax.lax.dynamic_update_slice(tokens, first[:, None], (0, P))
     done = first == eot
-    sum_lp = first_lp
-    n_lp = jnp.ones((B,), jnp.float32)
+
+    # The AOT TPU compiler's while_loop cost explodes with carry ARITY
+    # (measured: 5 leaves ~3 min, 9+ leaves >20 min for the same model), so
+    # all small per-stream state is packed into two (B, k) arrays:
+    #   fstate: [done, sum_logprob, n_sampled]            (B, 3) f32
+    #   istate: [last, penult, max_ts, n_sampled_rules]   (B, 4) i32 (rules only)
+    fstate = jnp.stack(
+        [done.astype(jnp.float32), first_lp, jnp.ones((B,), jnp.float32)], axis=1)
+
+    def pack_rs(r: RuleState):
+        return jnp.stack([r.last, r.penult, r.max_ts, r.n_sampled], axis=1)
+
+    def unpack_rs(a):
+        return RuleState(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+
+    carry = [tokens, kv.k, kv.v, jnp.int32(P), fstate]
+    if use_rules:
+        carry.append(pack_rs(rs))
+    if stochastic:
+        carry.append(key)
+    carry = tuple(carry)
 
     def cond(state):
-        tokens, k, v, i, done, rs, key, sum_lp, n_lp = state
-        return jnp.logical_and(i < limit - 1, jnp.logical_not(jnp.all(done)))
+        i, fstate = state[3], state[4]
+        return jnp.logical_and(
+            i < limit - 1, jnp.logical_not(jnp.all(fstate[:, 0] > 0.5)))
 
     def body(state):
-        tokens, k, v, i, done, rs, key, sum_lp, n_lp = state
+        tokens, k, v, i, fstate = state[:5]
+        rest = list(state[5:])
+        rs = unpack_rs(rest[0]) if use_rules else RuleState.create(B)
+        done = fstate[:, 0] > 0.5
+
         tok_i = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
         logits, new_kv = decoder_forward(
             params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype
         )
         if stochastic:
-            key, sub = jax.random.split(key)
+            key2, sub = jax.random.split(rest[-1])
         else:
-            sub = key
+            sub = None
         nxt, lp = sample(filt(logits[:, 0], rs), sub)
         nxt = jnp.where(done, eot, nxt)
         alive = jnp.logical_not(done)
-        sum_lp = sum_lp + jnp.where(alive, lp, 0.0)
-        n_lp = n_lp + alive.astype(jnp.float32)
-        rs = rs.advance(nxt, cfg.timestamp_begin)
+        new_done = jnp.logical_or(done, nxt == eot)
+        fstate = jnp.stack([
+            new_done.astype(jnp.float32),
+            fstate[:, 1] + jnp.where(alive, lp, 0.0),
+            fstate[:, 2] + alive.astype(jnp.float32),
+        ], axis=1)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
-        done = jnp.logical_or(done, nxt == eot)
-        return tokens, new_kv.k, new_kv.v, i + 1, done, rs, key, sum_lp, n_lp
 
-    tokens, _, _, final_i, done, _, _, sum_lp, n_lp = jax.lax.while_loop(
-        cond, body, (tokens, kv.k, kv.v, jnp.int32(P), done, rs, key, sum_lp, n_lp)
-    )
+        out = [tokens, new_kv.k, new_kv.v, i + 1, fstate]
+        if use_rules:
+            out.append(pack_rs(rs.advance(nxt, cfg.timestamp_begin)))
+        if stochastic:
+            out.append(key2)
+        return tuple(out)
+
+    final = jax.lax.while_loop(cond, body, carry)
+    tokens, fstate = final[0], final[4]
+    sum_lp, n_lp = fstate[:, 1], fstate[:, 2]
 
     is_eot = tokens == eot
     pos = jnp.arange(T)[None, :]

@@ -193,8 +193,16 @@ class ContinuousBatchingEngine:
 
         def steps(params, tokens, offsets, active, done, limit, rs,
                   kv_k, kv_v, cross, n_steps):
+            # the AOT TPU compiler's loop cost explodes with carry arity —
+            # pack all small per-slot state into one (B, 6) i32 array:
+            # [offset, done, rs.last, rs.penult, rs.max_ts, rs.n_sampled]
+            st = jnp.stack([offsets, done.astype(jnp.int32),
+                            rs.last, rs.penult, rs.max_ts, rs.n_sampled], axis=1)
+
             def one(carry, _):
-                tokens, offsets, done, rs, kv_k, kv_v = carry
+                tokens, st, kv_k, kv_v = carry
+                offsets, done = st[:, 0], st[:, 1] > 0
+                rs = RuleState(st[:, 2], st[:, 3], st[:, 4], st[:, 5])
                 # clamp: empty slots sit at offset 0; -1 would wrap to T-1
                 pos = jnp.maximum(offsets - 1, 0)
                 cur = jnp.take_along_axis(tokens, pos[:, None], axis=1)[:, 0]
@@ -215,11 +223,14 @@ class ContinuousBatchingEngine:
                     nxt[:, None], tokens)
                 new_done = done | (step_ok & ((nxt == cfg.eot) | (offsets + 1 >= limit)))
                 offsets = jnp.where(step_ok, offsets + 1, offsets)
-                return (tokens, offsets, new_done, rs, kv.k, kv.v), None
+                st = jnp.stack([offsets, new_done.astype(jnp.int32),
+                                rs.last, rs.penult, rs.max_ts, rs.n_sampled], axis=1)
+                return (tokens, st, kv.k, kv.v), None
 
-            (tokens, offsets, done, rs, kv_k, kv_v), _ = jax.lax.scan(
-                one, (tokens, offsets, done, rs, kv_k, kv_v), None, length=n_steps)
-            return tokens, offsets, done, rs, kv_k, kv_v
+            (tokens, st, kv_k, kv_v), _ = jax.lax.scan(
+                one, (tokens, st, kv_k, kv_v), None, length=n_steps)
+            rs = RuleState(st[:, 2], st[:, 3], st[:, 4], st[:, 5])
+            return tokens, st[:, 0], st[:, 1] > 0, rs, kv_k, kv_v
 
         return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(1, 6, 7, 8))
 
