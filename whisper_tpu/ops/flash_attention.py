@@ -31,7 +31,7 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-Q_TILE = 128
+Q_TILE = 512  # measured on v5e: 512 is ~11% faster than 128 at turbo size
 _LANE = 128
 
 
