@@ -37,3 +37,15 @@ def test_aishell_dataset(tmp_path):
     items = list(ds)
     assert items[0].transcript == "甚至出现交易几乎停止的情况"
     assert items[0].path.endswith("aishell_S0764/BAC009S0764W0121.wav")
+
+
+def test_word_level_wer():
+    res = score_pairs([
+        ("a.wav", "the quick brown fox", "the quick brown box"),
+        ("b.wav", "Hello, World!", "hello world"),
+    ], level="word")
+    # 1 substitution over 4 words + 0 over 2 words
+    assert res.total_errors == 1
+    assert res.total_chars == 6
+    assert abs(res.per_utt[0][3] - 0.25) < 1e-9
+    assert res.per_utt[1][3] == 0.0

@@ -20,6 +20,8 @@ def main(argv=None) -> int:
     p.add_argument("--model_type", "-t", default="tiny")
     p.add_argument("--checkpoint", "-p", default=None)
     p.add_argument("--language", "-l", default="zh")
+    p.add_argument("--level", default="char", choices=["char", "word"],
+                   help="char = reference zh metric; word = spaced-language WER")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16")
@@ -44,7 +46,7 @@ def main(argv=None) -> int:
         compute_dtype=args.dtype,
     )
     res = evaluate(pipe, ds, batch_size=args.batch, language=args.language,
-                   limit=args.limit, log_path=args.log)
+                   limit=args.limit, log_path=args.log, level=args.level)
     with open(args.out, "w") as f:
         f.write(f"{res.wer:.6f}\n")
     print(f"Total WER: {res.wer:.4f}")

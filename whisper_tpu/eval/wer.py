@@ -14,7 +14,7 @@ import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
-from ..text import remove_punctuation
+from ..text import remove_punctuation, remove_punctuation_keep_spaces
 
 logger = logging.getLogger("whisper_tpu.wer")
 
@@ -73,6 +73,22 @@ class CommonVoiceDataset:
         return iter(self.items)
 
 
+def _word_edit_distance(ref_words, hyp_words) -> int:
+    """Levenshtein over word sequences (English-style WER; the reference is
+    char-level only, right for zh)."""
+    if len(ref_words) < len(hyp_words):
+        ref_words, hyp_words = hyp_words, ref_words
+    if not hyp_words:
+        return len(ref_words)
+    prev = list(range(len(hyp_words) + 1))
+    for i, rw in enumerate(ref_words, 1):
+        cur = [i] + [0] * len(hyp_words)
+        for j, hw in enumerate(hyp_words, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (rw != hw))
+        prev = cur
+    return prev[-1]
+
+
 def edit_distance(ref: str, hyp: str) -> int:
     """Levenshtein distance over characters (reference min_distance,
     test_wer.py:209-235) with an O(min(m,n)) rolling row. Uses the native
@@ -108,20 +124,29 @@ class WerResult:
         return self.total_errors / max(self.total_chars, 1)
 
 
-def score_pairs(pairs: Sequence[Tuple[str, str, str]]) -> WerResult:
-    """pairs: (path, ground_truth, hypothesis). Char-WER after punctuation
-    strip, accumulated as sum(errors)/sum(chars) (test_wer.py:276-302)."""
+def score_pairs(pairs: Sequence[Tuple[str, str, str]],
+                level: str = "char") -> WerResult:
+    """pairs: (path, ground_truth, hypothesis). ``level='char'`` matches the
+    reference's zh metric (sum(errors)/sum(chars), test_wer.py:276-302);
+    ``level='word'`` is standard whitespace-token WER for spaced languages."""
     total_err = 0
-    total_chars = 0
+    total_units = 0
     per_utt = []
     for path, gt, hyp in pairs:
-        gt_n = remove_punctuation(gt)
-        hyp_n = remove_punctuation(hyp)
-        err = edit_distance(gt_n, hyp_n)
+        if level == "word":
+            gt_u = remove_punctuation_keep_spaces(gt).split()
+            hyp_u = remove_punctuation_keep_spaces(hyp).split()
+            err = _word_edit_distance(gt_u, hyp_u)
+            n = len(gt_u)
+        else:
+            gt_n = remove_punctuation(gt)
+            hyp_n = remove_punctuation(hyp)
+            err = edit_distance(gt_n, hyp_n)
+            n = len(gt_n)
         total_err += err
-        total_chars += len(gt_n)
-        per_utt.append((path, gt, hyp, err / max(len(gt_n), 1)))
-    return WerResult(total_err, total_chars, per_utt)
+        total_units += n
+        per_utt.append((path, gt, hyp, err / max(n, 1)))
+    return WerResult(total_err, total_units, per_utt)
 
 
 def evaluate(
@@ -131,6 +156,7 @@ def evaluate(
     language: str = "zh",
     limit: Optional[int] = None,
     log_path: Optional[str] = None,
+    level: str = "char",
 ) -> WerResult:
     """Batched WER eval (the reference runs strictly one-by-one,
     test_wer.py:276-297)."""
@@ -147,13 +173,13 @@ def evaluate(
             results = pipeline.transcribe_batch([u.path for u in chunk], language=language)
             for u, r in zip(chunk, results):
                 pairs.append((u.path, u.transcript, r.text))
-                part = score_pairs(pairs[-1:])
+                part = score_pairs(pairs[-1:], level=level)
                 logger.info(
                     "(%d/%d) %s gt: %s predict: %s WER: %.2f%%",
                     len(pairs), len(items), os.path.basename(u.path),
                     u.transcript, r.text, 100 * part.wer,
                 )
-        res = score_pairs(pairs)
+        res = score_pairs(pairs, level=level)
         logger.info("Total WER: %.4f (%d/%d chars)", res.wer, res.total_errors, res.total_chars)
         return res
     finally:
