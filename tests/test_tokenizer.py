@@ -92,3 +92,17 @@ def test_split_words_zh(tok):
     words, word_tokens = tok.split_to_word_tokens(ids)
     assert "".join(words) == "今天天气"
     assert sum(len(w) for w in word_tokens) == len(ids)
+
+
+def test_en_preset_layout():
+    """English-only .en models: GPT-2 vocab base, no language tokens."""
+    cfg = get_config("tiny.en")
+    assert cfg.n_vocab == 51864
+    assert not cfg.is_multilingual
+    assert cfg.eot == 50256
+    assert cfg.sot == 50257
+    assert cfg.lang_token_start == 50258   # layout keeps the 99 lang slots
+    assert cfg.translate == 50357
+    assert cfg.transcribe == 50358
+    assert cfg.no_timestamps == 50362
+    assert cfg.timestamp_begin == 50363

@@ -187,6 +187,15 @@ PRESETS = {
     "test-nano": _P(n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
                     n_text_ctx=32, n_text_state=64, n_text_head=2, n_text_layer=2, n_vocab=51865),
 }
+# English-only variants (OpenAI .en checkpoints): GPT-2 vocab, no language
+# tokens; specials base shifts to 50256 (see _specials)
+for _sz in ("tiny", "base", "small", "medium"):
+    _p = dict(PRESETS[_sz])
+    # layout keeps the 99 language-token slots (OpenAI builds the same
+    # special set over the gpt2 base: 50257+1+99+6+1501 = 51864)
+    _p.update(n_vocab=51864, is_multilingual=False)
+    PRESETS[f"{_sz}.en"] = _p
+
 PRESETS["large"] = PRESETS["large-v3"]
 PRESETS["large-v3-turbo"] = PRESETS["turbo"]
 

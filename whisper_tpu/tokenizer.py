@@ -64,21 +64,26 @@ _GPT2_PAT = (
     r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
 )
 
-_VOCAB_SEARCH_PATHS = (
-    os.path.join(os.path.dirname(__file__), "..", "assets", "multilingual.tiktoken"),
-    os.path.join(os.path.dirname(__file__), "assets", "multilingual.tiktoken"),
-    "/root/reference/python/assets/multilingual.tiktoken",
-)
+def _vocab_search_paths(name: str):
+    return (
+        os.path.join(os.path.dirname(__file__), "..", "assets", name),
+        os.path.join(os.path.dirname(__file__), "assets", name),
+        f"/root/reference/python/assets/{name}",
+    )
 
 
-def find_vocab_file(explicit: Optional[str] = None) -> str:
-    """Locate the BPE rank table."""
-    candidates = [explicit, os.environ.get("WHISPER_TPU_VOCAB")] + list(_VOCAB_SEARCH_PATHS)
+def find_vocab_file(explicit: Optional[str] = None,
+                    multilingual: bool = True) -> str:
+    """Locate the BPE rank table (multilingual.tiktoken, or gpt2.tiktoken
+    for the English-only .en models)."""
+    name = "multilingual.tiktoken" if multilingual else "gpt2.tiktoken"
+    candidates = [explicit, os.environ.get("WHISPER_TPU_VOCAB")] + list(
+        _vocab_search_paths(name))
     for c in candidates:
         if c and os.path.exists(c):
             return os.path.abspath(c)
     raise FileNotFoundError(
-        "multilingual.tiktoken vocab not found; set WHISPER_TPU_VOCAB or run "
+        f"{name} vocab not found; set WHISPER_TPU_VOCAB or run "
         "scripts/fetch_assets.py"
     )
 
@@ -97,6 +102,8 @@ def _load_ranks(path: str) -> Dict[bytes, int]:
 
 @lru_cache(maxsize=8)
 def get_encoding(vocab_path: str, num_languages: int = 99) -> tiktoken.Encoding:
+    """Build the tiktoken Encoding. For .en models pass the gpt2 vocab and
+    num_languages=0 (no language tokens; same special layout otherwise)."""
     ranks = _load_ranks(vocab_path)
     n_vocab = len(ranks)
     specials = ["<|endoftext|>", "<|startoftranscript|>"]
@@ -298,7 +305,7 @@ def get_tokenizer(
     if not multilingual:
         task = None
         language = None
-    enc = get_encoding(find_vocab_file(vocab_path), num_languages)
+    enc = get_encoding(find_vocab_file(vocab_path, multilingual), num_languages)
     return Tokenizer(encoding=enc, num_languages=num_languages, language=language, task=task)
 
 
