@@ -106,3 +106,15 @@ def test_en_preset_layout():
     assert cfg.transcribe == 50358
     assert cfg.no_timestamps == 50362
     assert cfg.timestamp_begin == 50363
+
+
+def test_en_sot_sequence_and_config_json_roundtrip():
+    cfg = get_config("tiny.en")
+    assert cfg.sot_sequence("en", "transcribe") == (cfg.sot, cfg.no_timestamps)
+    # json round-trip preserves architecture fields
+    from whisper_tpu.config import WhisperConfig
+
+    cfg2 = WhisperConfig.from_json(cfg.to_json())
+    assert cfg2.n_vocab == cfg.n_vocab
+    assert cfg2.is_multilingual == cfg.is_multilingual
+    assert cfg2.sot_sequence("en", "transcribe") == cfg.sot_sequence("en", "transcribe")

@@ -127,7 +127,10 @@ class WhisperConfig:
         return 220
 
     def sot_sequence(self, language: str = "zh", task: str = "transcribe") -> Tuple[int, ...]:
-        """[sot, lang, task, notimestamps] prompt (python/whisper.py:112-114)."""
+        """[sot, lang, task, notimestamps] prompt (python/whisper.py:112-114);
+        English-only models use just [sot, notimestamps]."""
+        if not self.is_multilingual:
+            return (self.sot, self.no_timestamps)
         from .tokenizer import LANGUAGES
 
         codes = list(LANGUAGES.keys())[: self.num_languages]

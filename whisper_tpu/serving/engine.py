@@ -369,7 +369,10 @@ class ContinuousBatchingEngine:
                 if r.language in (None, "auto"):
                     r.language = codes[int(lang_idx[i])]
 
-        prompts = np.zeros((bucket, 4), np.int32)
+        P0 = len(self.cfg.sot_sequence("en" if not self.cfg.is_multilingual
+                                       else newcomers[0].language,
+                                       newcomers[0].task))
+        prompts = np.zeros((bucket, P0), np.int32)
         for i, r in enumerate(newcomers):
             prompts[i] = list(self.cfg.sot_sequence(r.language, r.task))
         if self.timestamps:
