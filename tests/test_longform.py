@@ -120,3 +120,122 @@ def test_transcribe_seek_nano(rng):
     # segments of the long utterance must extend past the first window
     # OR the strategy fell back to full-window advance (also valid);
     # either way it terminated, which is the key property under random weights
+
+
+def _nano_cfg():
+    from whisper_tpu.config import WhisperConfig
+
+    return WhisperConfig(
+        name="nano-cond", n_mels=80, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=2, n_audio_layer=1, n_vocab=51865, n_text_ctx=48,
+        n_text_state=64, n_text_head=2, n_text_layer=2)
+
+
+def test_padded_prompt_parity(rng):
+    """A left-padded (attention-masked, position-shifted) prompt must decode
+    identically to the same prompt without padding — the invariant behind
+    condition-on-previous-text batching."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.decode import greedy_decode
+    from whisper_tpu.models.model import init_params
+
+    cfg = _nano_cfg()
+    params = init_params(cfg)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)).astype(np.float32)) * 0.1
+
+    base = [cfg.sot, cfg.lang_token_start, cfg.transcribe]
+    prev = [cfg.sot_prev, 100, 200, 300]
+    plain = np.asarray([prev + base, prev + base], np.int32)
+    r_plain = greedy_decode(params, mel, jnp.asarray(plain), cfg,
+                            max_tokens=8, sot_index=len(prev))
+
+    pad = 5
+    padded = np.full((2, pad + len(prev) + len(base)), cfg.eot, np.int32)
+    padded[:, pad:] = plain
+    r_pad = greedy_decode(
+        params, mel, jnp.asarray(padded), cfg, max_tokens=8,
+        prompt_pad=jnp.asarray([pad, pad], np.int32),
+        sot_index=pad + len(prev))
+
+    P_plain, P_pad = plain.shape[1], padded.shape[1]
+    lp, lq = np.asarray(r_plain.lengths), np.asarray(r_pad.lengths)
+    np.testing.assert_array_equal(lp - P_plain, lq - P_pad)
+    for b in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(r_plain.tokens)[b, P_plain:lp[b]],
+            np.asarray(r_pad.tokens)[b, P_pad:lq[b]])
+    np.testing.assert_allclose(np.asarray(r_plain.no_speech_prob),
+                               np.asarray(r_pad.no_speech_prob), rtol=1e-5)
+
+
+def test_padded_prompt_mixed_lengths(rng):
+    """Streams with different pads in ONE batch each match their solo run."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.decode import greedy_decode
+    from whisper_tpu.models.model import init_params
+
+    cfg = _nano_cfg()
+    params = init_params(cfg)
+    mel_np = (rng.standard_normal((2, 80, 3000)) * 0.1).astype(np.float32)
+    mel = jnp.asarray(mel_np)
+
+    base = [cfg.sot, cfg.lang_token_start, cfg.transcribe]
+    prevs = [[cfg.sot_prev, 11, 22, 33, 44], [cfg.sot_prev, 55]]
+    P = max(len(p) for p in prevs) + len(base)
+    prompts = np.full((2, P), cfg.eot, np.int32)
+    pads = np.zeros((2,), np.int32)
+    for b, pv in enumerate(prevs):
+        pads[b] = P - len(base) - len(pv)
+        prompts[b, pads[b]:] = pv + base
+    r = greedy_decode(params, mel, jnp.asarray(prompts), cfg, max_tokens=6,
+                      prompt_pad=jnp.asarray(pads), sot_index=P - len(base))
+
+    for b, pv in enumerate(prevs):
+        solo = np.asarray([pv + base], np.int32)
+        rs = greedy_decode(params, mel[b:b + 1], jnp.asarray(solo), cfg,
+                           max_tokens=6, sot_index=len(pv))
+        lb = int(np.asarray(r.lengths)[b])
+        ls = int(np.asarray(rs.lengths)[0])
+        np.testing.assert_array_equal(
+            np.asarray(r.tokens)[b, P:lb],
+            np.asarray(rs.tokens)[0, solo.shape[1]:ls])
+
+
+def test_transcribe_seek_conditioned(rng):
+    """condition_on_previous_text plumbs accepted text back in as sot_prev
+    prompts without breaking termination or segment bookkeeping."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from whisper_tpu.longform import transcribe_seek
+    from whisper_tpu.models.model import init_params
+    from whisper_tpu.tokenizer import find_vocab_file, get_tokenizer
+
+    try:
+        find_vocab_file()
+    except FileNotFoundError:
+        _pytest.skip("vocab asset unavailable")
+
+    cfg = _nano_cfg()
+
+    class Pipe:
+        pass
+
+    pipe = Pipe()
+    pipe.cfg = cfg
+    pipe.params = init_params(cfg)
+    pipe.compute_dtype = jnp.float32
+    pipe.task = "transcribe"
+    pipe.max_tokens = 8
+    pipe.kv_quant = False
+    pipe._suppress_ids = None
+    pipe.condition_on_previous_text = True
+    pipe.tokenizer = get_tokenizer(True, num_languages=99)
+
+    waves = [(rng.standard_normal(16000 * 40) * 0.1).astype(np.float32)]
+    out = transcribe_seek(pipe, waves, "en")
+    assert len(out) == 1
+    text, segs = out[0]
+    assert isinstance(text, str)

@@ -32,6 +32,10 @@ def get_args(argv=None):
                    help="int8-quantize the cross-attention KV cache")
     p.add_argument("--max_tokens", type=int, default=None,
                    help="cap on generated tokens (default: model ctx limit)")
+    p.add_argument("--longform", action="store_true",
+                   help="seek-based long-form (timestamp-conditioned windows)")
+    p.add_argument("--no_condition", action="store_true",
+                   help="disable condition-on-previous-text in --longform")
     return p.parse_args(argv)
 
 
@@ -53,10 +57,14 @@ def main(argv=None) -> int:
         timestamps=args.timestamps,
         max_tokens=args.max_tokens,
         kv_quant=args.kv_quant,
+        condition_on_previous_text=not args.no_condition,
     )
     print(f"Init model cost: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
-    results = pipe.transcribe_batch(args.wav)
+    if args.longform:
+        results = pipe.transcribe_longform(args.wav)
+    else:
+        results = pipe.transcribe_batch(args.wav)
     for path, r in zip(args.wav, results):
         print(f"{path}\t[{r.language}]\t{r.text}")
         print(

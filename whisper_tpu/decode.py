@@ -38,7 +38,7 @@ class GreedyResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
                      "timestamps", "apply_filters", "kv_quant",
-                     "temperature", "seed"),
+                     "temperature", "seed", "sot_index"),
 )
 def greedy_decode(
     params: Params,
@@ -54,6 +54,8 @@ def greedy_decode(
     kv_quant: bool = False,
     temperature: float = 0.0,
     seed: int = 0,
+    prompt_pad: Optional[jnp.ndarray] = None,  # (B,) int32 left-pad lengths
+    sot_index: int = 0,
 ) -> GreedyResult:
     """Encoder + prefill + greedy token loop in one compiled program.
 
@@ -62,6 +64,13 @@ def greedy_decode(
     (batch hardcoded to 1 at python/whisper.py:192). With
     ``apply_filters``/``timestamps`` the full OpenAI suppression/timestamp
     grammar (whisper_tpu.sampling) runs on-device each step.
+
+    ``prompt_pad`` enables condition-on-previous-text: per-stream prompts
+    ``[sot_prev, *prev_tokens, sot, lang, task]`` of differing lengths are
+    right-aligned in the (B, P) prompt with left padding that is masked out
+    of attention and skipped in positional indexing (see
+    models.model.decoder_forward). ``sot_index`` is the column of the sot
+    token (where the no-speech probability is read, OpenAI semantics).
     """
     from .sampling import RuleState, apply_rules
 
@@ -90,10 +99,11 @@ def greedy_decode(
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
 
     # prefill all prompt positions in one pass
-    logits, kv = decoder_forward(params, prompt, 0, kv, cross_kv, cfg, compute_dtype)
+    logits, kv = decoder_forward(params, prompt, 0, kv, cross_kv, cfg,
+                                 compute_dtype, pad=prompt_pad)
     # OpenAI-style no-speech probability: softmax at the sot position
     # (the reference carries the no_speech id but never uses it)
-    no_speech_prob = jax.nn.softmax(logits[:, 0], axis=-1)[:, cfg.no_speech]
+    no_speech_prob = jax.nn.softmax(logits[:, sot_index], axis=-1)[:, cfg.no_speech]
     rs = RuleState.create(B)
     stochastic = bool(temperature and temperature > 0)
     key = jax.random.PRNGKey(seed)  # unused (dead-code-eliminated) if greedy
@@ -152,7 +162,8 @@ def greedy_decode(
 
         tok_i = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
         logits, new_kv = decoder_forward(
-            params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype
+            params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype,
+            pad=prompt_pad,
         )
         if stochastic:
             key2, sub = jax.random.split(rest[-1])

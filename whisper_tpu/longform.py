@@ -70,6 +70,18 @@ def _next_pow2(n: int, cap: int = 64) -> int:
     return p
 
 
+# previous-text prompt-length buckets: each distinct prompt length is a
+# separate compiled program, so quantize to a handful of sizes
+_PREV_BUCKETS = (16, 64, 223)
+
+
+def _bucket_prev(n: int) -> int:
+    for b in _PREV_BUCKETS:
+        if n <= b:
+            return b
+    return _PREV_BUCKETS[-1]
+
+
 def transcribe_seek(pipe, waves, language: str):
     """Timestamp-conditioned sliding-window long-form transcription.
 
@@ -78,6 +90,13 @@ def transcribe_seek(pipe, waves, language: str):
     batched across all still-live utterances each round (window batches are
     padded to powers of two to bound recompiles). Falls back to a full-window
     advance when a window yields no complete segment.
+
+    When ``pipe.condition_on_previous_text`` is set, each window's prompt is
+    ``[sot_prev, *prev_text_tokens, sot, lang, task]`` (OpenAI semantics: the
+    accepted transcript so far, re-encoded and truncated to the last
+    n_text_ctx//2 - 1 tokens). Per-stream lengths differ, so prompts are
+    right-aligned with attention-masked left padding (decode.greedy_decode
+    ``prompt_pad``), with the prev region bucketed to bound recompiles.
 
     Returns per-utterance (text, segments[(start_s, end_s, text)]).
     """
@@ -95,9 +114,11 @@ def transcribe_seek(pipe, waves, language: str):
     done = [len(w) == 0 for w in waves]
     segments = [[] for _ in range(n)]
     texts = [[] for _ in range(n)]
-    prompt = np.asarray([cfg.sot_sequence(language, pipe.task)[:-1]], np.int32)  # drop no_ts
+    sot_seq = np.asarray(cfg.sot_sequence(language, pipe.task)[:-1], np.int32)  # drop no_ts
     suppress = (jnp.asarray(pipe._suppress_ids)
                 if getattr(pipe, "_suppress_ids", None) is not None else None)
+    condition = bool(getattr(pipe, "condition_on_previous_text", False))
+    max_prev = cfg.n_text_ctx // 2 - 1  # OpenAI's prompt budget
 
     while not all(done):
         live = [i for i in range(n) if not done[i]]
@@ -108,16 +129,42 @@ def transcribe_seek(pipe, waves, language: str):
             win = waves[i][seeks[i] : seeks[i] + N_SAMPLES]
             batch[j, : len(win)] = win
             lengths[j] = len(win)
+
+        prev_tok = [[] for _ in live]
+        if condition:
+            for j, i in enumerate(live):
+                prev = " ".join(texts[i]).strip()
+                if prev:
+                    prev_tok[j] = pipe.tokenizer.encode(" " + prev)[-max_prev:]
+        if condition and any(prev_tok):
+            prev_w = _bucket_prev(max(len(t) for t in prev_tok))
+            P = 1 + prev_w + len(sot_seq)  # [sot_prev, prev..., sot, lang, task]
+            prompts = np.full((bucket, P), cfg.eot, np.int32)
+            pads = np.full((bucket,), P - len(sot_seq), np.int32)
+            prompts[:, -len(sot_seq):] = sot_seq
+            for j, t in enumerate(prev_tok):
+                if t:
+                    pads[j] = prev_w - len(t)
+                    prompts[j, pads[j]] = cfg.sot_prev
+                    prompts[j, pads[j] + 1 : pads[j] + 1 + len(t)] = t
+                # streams with no prev text keep pads pointing at sot: the
+                # whole [sot_prev, prev] region is masked away
+            prompt_pad = jnp.asarray(pads)
+            sot_index = P - len(sot_seq)
+        else:
+            P = len(sot_seq)
+            prompts = np.tile(sot_seq[None], (bucket, 1))
+            prompt_pad, sot_index = None, 0
         res = greedy_decode(
             pipe.params, log_mel_batch(jnp.asarray(batch), jnp.asarray(lengths),
                                        n_mels=cfg.n_mels),
-            jnp.asarray(np.tile(prompt, (bucket, 1))), cfg,
+            jnp.asarray(prompts), cfg,
             compute_dtype=pipe.compute_dtype, suppress_ids=suppress,
             timestamps=True, apply_filters=True, kv_quant=pipe.kv_quant,
             max_tokens=pipe.max_tokens,
+            prompt_pad=prompt_pad, sot_index=sot_index,
         )
-        win_texts = extract_texts(res, prompt.shape[1], pipe.tokenizer,
-                                  timestamps=True)
+        win_texts = extract_texts(res, P, pipe.tokenizer, timestamps=True)
         for j, i in enumerate(live):
             base_s = seeks[i] / 16000.0
             win_len = int(lengths[j])

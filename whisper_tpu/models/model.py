@@ -278,11 +278,18 @@ def decoder_forward(
     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],  # (L, B, Ta, D) each
     cfg: WhisperConfig,
     compute_dtype=jnp.float32,
+    pad: Optional[jnp.ndarray] = None,  # (B,) int32: masked left-pad length
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run S decoder positions starting at ``offset`` against the KV cache.
 
     Covers both prefill (S = prompt length) and incremental decode (S = 1)
     with one compiled body. Returns (logits (B, S, n_vocab) fp32, updated kv).
+
+    ``pad`` supports per-stream variable-length prompts in one fixed-shape
+    batch (condition-on-previous-text): stream b's real prompt is
+    right-aligned with ``pad[b]`` dummy tokens in front, which are excluded
+    from self-attention, and positional embeddings are indexed ``pos - pad[b]``
+    so real tokens get the canonical positions 0, 1, 2, ...
     """
     dec = params["decoder"]
     dt = compute_dtype
@@ -291,8 +298,14 @@ def decoder_forward(
     n_head = cfg.n_text_head
 
     tok_emb = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dt)  # (B, S, D)
-    pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], offset, S, axis=0).astype(dt)
-    x = tok_emb + pos[None]
+    if pad is None:
+        pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], offset, S, axis=0).astype(dt)
+        x = tok_emb + pos[None]
+    else:
+        # per-stream positional index: absolute position minus left-pad
+        idx = jnp.clip(offset + jnp.arange(S)[None, :] - pad[:, None], 0,
+                       dec["pos_emb"].shape[0] - 1)  # (B, S)
+        x = tok_emb + jnp.take(dec["pos_emb"], idx, axis=0).astype(dt)
 
     # visibility mask over the full cache: key position t visible to query s
     # iff t <= offset + s  (matches the reference's 1-D int mask semantics,
@@ -301,6 +314,9 @@ def decoder_forward(
     q_pos = offset + jnp.arange(S)[:, None]
     vis = key_pos <= q_pos  # (S, T) True = visible
     vis = vis[None, None]  # (1, 1, S, T)
+    if pad is not None:
+        # padded prefix positions are never valid keys
+        vis = jnp.logical_and(vis, key_pos[None, None] >= pad[:, None, None, None])
 
     kv_quant = len(cross_kv) == 4  # (k_q, k_s, v_q, v_s) from quantize_cross_kv
 

@@ -75,6 +75,7 @@ class WhisperPipeline:
         compression_ratio_threshold: float = 2.4,
         logprob_threshold: float = -1.0,
         no_speech_threshold: float = 0.6,
+        condition_on_previous_text: bool = True,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -93,6 +94,8 @@ class WhisperPipeline:
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
+        # used by the seek-based long-form path (longform.transcribe_seek)
+        self.condition_on_previous_text = condition_on_previous_text
 
         if checkpoint is not None:
             self.params, self.cfg = load_checkpoint(checkpoint, size=model)
