@@ -151,3 +151,43 @@ def test_int8_cross_kv_close_to_fp(rng):
     prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")] * 2, jnp.int32)
     res = greedy_decode(p, mel, prompt, NANO, kv_quant=True, max_tokens=6)
     assert np.asarray(res.tokens).shape == (2, NANO.n_text_ctx)
+
+
+def test_int8_self_kv_close_to_fp(rng):
+    """Packed per-position int8 self-KV: attention parity + e2e greedy path."""
+    from whisper_tpu.models.model import (
+        attention, attention_int8kv_perpos, quantize_kv_heads)
+
+    B, H, T, dh = 2, 2, 12, 32
+    kh = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    vh = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
+    kv_q, kv_s = quantize_kv_heads(kh, vh)
+    assert kv_q.shape == (B, H, T, 2, dh) and kv_q.dtype == jnp.int8
+    assert kv_s.shape == (B, H, T, 2)
+
+    ref = np.asarray(attention(q, kh, vh))
+    got = np.asarray(attention_int8kv_perpos(q, kv_q, kv_s))
+    denom = np.maximum(np.abs(ref), 1e-2)
+    assert np.median(np.abs(got - ref) / denom) < 0.02
+
+    p = init_params(NANO)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 128)).astype(np.float32))
+    prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")] * 2, jnp.int32)
+    ref_res = greedy_decode(p, mel, prompt, NANO, max_tokens=6)
+    q_res = greedy_decode(p, mel, prompt, NANO, max_tokens=6,
+                          self_kv_quant=True)
+    assert np.asarray(q_res.tokens).shape == (2, NANO.n_text_ctx)
+    # int8 self-KV is a perturbation, not an approximation guarantee — but on
+    # well-scaled activations greedy argmax should agree at the first step
+    assert (np.asarray(q_res.tokens)[:, prompt.shape[1]]
+            == np.asarray(ref_res.tokens)[:, prompt.shape[1]]).all()
+
+
+def test_int8_self_and_cross_kv_combined(rng):
+    p = init_params(NANO)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 128)).astype(np.float32))
+    prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")] * 2, jnp.int32)
+    res = greedy_decode(p, mel, prompt, NANO, max_tokens=6, kv_quant=True,
+                        self_kv_quant=True)
+    assert np.asarray(res.lengths).min() >= prompt.shape[1]

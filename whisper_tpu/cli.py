@@ -30,6 +30,8 @@ def get_args(argv=None):
     p.add_argument("--timestamps", action="store_true", help="emit timestamp tokens")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantize the cross-attention KV cache")
+    p.add_argument("--self_kv_quant", action="store_true",
+                   help="int8-quantize the self-attention KV cache")
     p.add_argument("--max_tokens", type=int, default=None,
                    help="cap on generated tokens (default: model ctx limit)")
     p.add_argument("--longform", action="store_true",
@@ -57,6 +59,7 @@ def main(argv=None) -> int:
         timestamps=args.timestamps,
         max_tokens=args.max_tokens,
         kv_quant=args.kv_quant,
+        self_kv_quant=args.self_kv_quant,
         condition_on_previous_text=not args.no_condition,
     )
     print(f"Init model cost: {time.perf_counter() - t0:.3f}s", file=sys.stderr)

@@ -38,7 +38,7 @@ class GreedyResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
                      "timestamps", "apply_filters", "kv_quant",
-                     "temperature", "seed", "sot_index"),
+                     "temperature", "seed", "sot_index", "self_kv_quant"),
 )
 def greedy_decode(
     params: Params,
@@ -56,6 +56,7 @@ def greedy_decode(
     seed: int = 0,
     prompt_pad: Optional[jnp.ndarray] = None,  # (B,) int32 left-pad lengths
     sot_index: int = 0,
+    self_kv_quant: bool = False,
 ) -> GreedyResult:
     """Encoder + prefill + greedy token loop in one compiled program.
 
@@ -93,7 +94,13 @@ def greedy_decode(
         from .models.model import quantize_cross_kv
 
         cross_kv = quantize_cross_kv(cross_kv)
-    kv = KVCache.create(cfg, B, dtype=compute_dtype)
+    if self_kv_quant:
+        from .models.model import QKVCache
+
+        kv = QKVCache.create(cfg, B)
+    else:
+        kv = KVCache.create(cfg, B, dtype=compute_dtype)
+    cache_cls = type(kv)
 
     tokens = jnp.full((B, T), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
@@ -142,7 +149,7 @@ def greedy_decode(
     def unpack_rs(a):
         return RuleState(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
 
-    carry = [tokens, kv.k, kv.v, jnp.int32(P), fstate]
+    carry = [tokens, kv[0], kv[1], jnp.int32(P), fstate]
     if use_rules:
         carry.append(pack_rs(rs))
     if stochastic:
@@ -162,7 +169,7 @@ def greedy_decode(
 
         tok_i = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))
         logits, new_kv = decoder_forward(
-            params, tok_i, i, KVCache(k, v), cross_kv, cfg, compute_dtype,
+            params, tok_i, i, cache_cls(k, v), cross_kv, cfg, compute_dtype,
             pad=prompt_pad,
         )
         if stochastic:
@@ -180,7 +187,7 @@ def greedy_decode(
         ], axis=1)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
 
-        out = [tokens, new_kv.k, new_kv.v, i + 1, fstate]
+        out = [tokens, new_kv[0], new_kv[1], i + 1, fstate]
         if use_rules:
             out.append(pack_rs(rs.advance(nxt, cfg.timestamp_begin)))
         if stochastic:

@@ -161,6 +161,7 @@ def transcribe_seek(pipe, waves, language: str):
             jnp.asarray(prompts), cfg,
             compute_dtype=pipe.compute_dtype, suppress_ids=suppress,
             timestamps=True, apply_filters=True, kv_quant=pipe.kv_quant,
+            self_kv_quant=getattr(pipe, "self_kv_quant", False),
             max_tokens=pipe.max_tokens,
             prompt_pad=prompt_pad, sot_index=sot_index,
         )

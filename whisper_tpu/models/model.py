@@ -270,6 +270,58 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+class QKVCache(NamedTuple):
+    """Int8 self-attention KV cache. K and V are PACKED into one array so the
+    decode loop's carry arity matches the bf16 cache (2 leaves — carry arity
+    is the AOT TPU compiler's compile-time killer, BENCH_NOTES.md):
+
+    q: (L, B, H, T, 2, dh) int8 — [..., 0, :] = K, [..., 1, :] = V
+    s: (L, B, H, T, 2) fp32 — symmetric per-(position, head) scales over dh
+
+    The scales apply exactly outside the MXU matmuls: score rows scale by
+    s_k AFTER q·k_q, attention weights scale by s_v BEFORE w·v_q — no
+    dequantized copy of the cache ever hits HBM."""
+
+    q: jnp.ndarray
+    s: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: WhisperConfig, batch: int) -> "QKVCache":
+        L, H, T, dh = (cfg.n_text_layer, cfg.n_text_head, cfg.n_text_ctx,
+                       cfg.head_dim_text)
+        return cls(jnp.zeros((L, batch, H, T, 2, dh), jnp.int8),
+                   jnp.ones((L, batch, H, T, 2), jnp.float32))
+
+
+def quantize_kv_heads(kh: jnp.ndarray, vh: jnp.ndarray):
+    """(B, H, S, dh) k/v -> packed int8 (B, H, S, 2, dh) + scales (B, H, S, 2)."""
+    x = jnp.stack([kh, vh], axis=3).astype(jnp.float32)  # (B, H, S, 2, dh)
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def attention_int8kv_perpos(
+    q: jnp.ndarray,     # (B, H, Tq, dh) compute dtype
+    kv_q: jnp.ndarray,  # (B, H, Tk, 2, dh) int8 packed
+    kv_s: jnp.ndarray,  # (B, H, Tk, 2) fp32
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Attention against a packed per-position int8 KV cache (exact scaling)."""
+    dt = q.dtype
+    dh = q.shape[-1]
+    k_q, v_q = kv_q[..., 0, :], kv_q[..., 1, :]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_q.astype(dt),
+                        preferred_element_type=jnp.float32)
+    scores = scores * kv_s[..., 0][:, :, None, :] * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    w = jax.nn.softmax(scores, axis=-1)
+    w = (w * kv_s[..., 1][:, :, None, :]).astype(dt)  # fold V scales into weights
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v_q.astype(dt),
+                      preferred_element_type=dt)
+
+
 def decoder_forward(
     params: Params,
     tokens: jnp.ndarray,  # (B, S) int32
@@ -319,25 +371,39 @@ def decoder_forward(
         vis = jnp.logical_and(vis, key_pos[None, None] >= pad[:, None, None, None])
 
     kv_quant = len(cross_kv) == 4  # (k_q, k_s, v_q, v_s) from quantize_cross_kv
+    self_quant = isinstance(kv, QKVCache)
 
     # scan over layers; cross-kv per layer rides along as scanned inputs
     def scan_block(carry, inp):
         p, cross = inp[0], inp[1:]
-        x, kcache, vcache, layer = carry
+        x, kcache, vcache, layer = carry  # for QKVCache: (x, q, s, layer)
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
         k_new = _linear(h, p["attn"]["wk"], None, dt)
         v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
-        # head-major write: (B, S, D) -> (1, B, H, S, dh) at [layer,:,:,offset]
-        kcache = jax.lax.dynamic_update_slice(
-            kcache, _split_heads(k_new, n_head).astype(kcache.dtype)[None],
-            (layer, 0, 0, offset, 0))
-        vcache = jax.lax.dynamic_update_slice(
-            vcache, _split_heads(v_new, n_head).astype(vcache.dtype)[None],
-            (layer, 0, 0, offset, 0))
-        k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
-        v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-        o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
+        if self_quant:
+            qn, sn = quantize_kv_heads(_split_heads(k_new, n_head),
+                                       _split_heads(v_new, n_head))
+            kcache = jax.lax.dynamic_update_slice(
+                kcache, qn[None], (layer, 0, 0, offset, 0, 0))
+            vcache = jax.lax.dynamic_update_slice(
+                vcache, sn[None], (layer, 0, 0, offset, 0))
+            o = attention_int8kv_perpos(
+                _split_heads(q, n_head),
+                jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False),
+                mask=vis)
+        else:
+            # head-major write: (B, S, D) -> (1, B, H, S, dh) at [layer,:,:,offset]
+            kcache = jax.lax.dynamic_update_slice(
+                kcache, _split_heads(k_new, n_head).astype(kcache.dtype)[None],
+                (layer, 0, 0, offset, 0))
+            vcache = jax.lax.dynamic_update_slice(
+                vcache, _split_heads(v_new, n_head).astype(vcache.dtype)[None],
+                (layer, 0, 0, offset, 0))
+            k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
+            v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
+            o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
         x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
@@ -356,7 +422,7 @@ def decoder_forward(
         return (x, kcache, vcache, layer + 1), None
 
     (x, kc, vc, _), _ = jax.lax.scan(
-        scan_block, (x, kv.k, kv.v, 0), (dec["blocks"],) + tuple(cross_kv))
+        scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     # tied-embedding logits, fp32 island (export_onnx.py:377-386)
@@ -365,7 +431,7 @@ def decoder_forward(
     # through HBM every decode step
     logits = jnp.einsum("bsd,vd->bsv", x.astype(dt), dec["tok_emb"].astype(dt),
                         preferred_element_type=jnp.float32)
-    return logits, KVCache(kc, vc)
+    return logits, type(kv)(kc, vc)
 
 
 def decoder_step_multipos(

@@ -70,6 +70,7 @@ class WhisperPipeline:
         apply_filters: bool = True,
         quantize: bool = False,
         kv_quant: bool = False,
+        self_kv_quant: bool = False,
         temperature: float = 0.0,
         temperature_fallback: Optional[bool] = None,
         compression_ratio_threshold: float = 2.4,
@@ -86,6 +87,7 @@ class WhisperPipeline:
         self.max_tokens = max_tokens
         self.apply_filters = apply_filters
         self.kv_quant = kv_quant
+        self.self_kv_quant = self_kv_quant
         self.temperature = temperature
         # whisper's retry ladder only makes sense with trained weights
         self.temperature_fallback = (
@@ -195,6 +197,7 @@ class WhisperPipeline:
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
                 kv_quant=self.kv_quant,
+                self_kv_quant=self.self_kv_quant,
                 temperature=self.temperature,
             )
             if self.temperature_fallback:
@@ -273,6 +276,7 @@ class WhisperPipeline:
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
                 kv_quant=self.kv_quant,
+                self_kv_quant=self.self_kv_quant,
                 temperature=temp,
                 seed=int(temp * 1000),
             )
