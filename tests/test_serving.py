@@ -348,3 +348,40 @@ def test_engine_timestamps_mode(nano_params, rng):
             assert ids[0] >= ts0
     finally:
         eng.stop()
+
+
+def test_engine_tensor_parallel_matches_single(nano_params, rng):
+    """TP-placed engine (weights + KV sharded over the model axis) must
+    produce the same tokens as the unsharded engine."""
+    from whisper_tpu.parallel.sharding import make_mesh
+
+    wavs = [_audio(rng, 0.5), _audio(rng, 0.8), _audio(rng, 0.3)]
+
+    def run(mesh):
+        eng = ContinuousBatchingEngine(
+            nano_params, NANO, IdTok(), max_slots=4,
+            compute_dtype=jnp.float32, steps_per_sync=2, max_tokens=10,
+            apply_filters=False, mesh=mesh,
+        ).start()
+        try:
+            futs = [eng.submit(Request(audio=w, language="zh")) for w in wavs]
+            return [f.result(timeout=120)["text"] for f in futs]
+        finally:
+            eng.stop()
+
+    base = run(None)
+    tp = run(make_mesh(1, 2))
+    assert tp == base
+
+
+def test_http_query_string_params(http_server, rng):
+    """POST /asr?language=..&stream=.. — query strings must route (the path
+    equality check used to 404 them) and override the language default."""
+    import urllib.request
+
+    pcm = _audio(rng, 0.4).tobytes()
+    req = urllib.request.Request(
+        f"{http_server}/asr?language=en", data=pcm,
+        headers={"Content-Type": "application/octet-stream"})
+    out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert out["success"] and out["language"] == "en"

@@ -34,11 +34,16 @@ def make_mesh(
     devices=None,
 ) -> Mesh:
     """Build a (data, model) mesh. Defaults: all devices on the data axis."""
-    devices = devices if devices is not None else jax.devices()
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
     n = len(devices)
     if n_data is None:
         n_data = n // n_model
-    assert n_data * n_model == n, f"{n_data}x{n_model} != {n} devices"
+    want = n_data * n_model
+    if not explicit and want < n:
+        devices = devices[:want]  # explicit shape: use the first N devices
+        n = want
+    assert want == n, f"{n_data}x{n_model} != {n} devices"
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
@@ -115,12 +120,34 @@ def data_specs() -> Dict[str, P]:
     }
 
 
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop spec axes that don't evenly divide the dim (replicate instead) —
+    e.g. tok_emb's vocab dim 51865 = 5x11x23x41 rarely divides the TP degree."""
+    out = []
+    for i, ax in enumerate(spec):
+        if ax is not None and i < len(shape) and shape[i] % mesh.shape[ax] != 0:
+            out.append(None)
+        else:
+            out.append(ax)
+    return P(*out)
+
+
 def shard_params(params, mesh: Mesh, cfg: WhisperConfig):
     """Place a param pytree onto the mesh per param_specs."""
+    from ..ops.quant import QTensor
+
     specs = param_specs(cfg)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+
+    def put(x, s):
+        if isinstance(x, QTensor):
+            return QTensor(
+                jax.device_put(x.q, NamedSharding(mesh, _fit_spec(s, x.q.shape, mesh))),
+                jax.device_put(x.s, NamedSharding(mesh, _fit_spec(s, x.s.shape, mesh))),
+            )
+        return jax.device_put(x, NamedSharding(mesh, _fit_spec(s, x.shape, mesh)))
+
+    return jax.tree.map(put, params, specs,
+                        is_leaf=lambda x: isinstance(x, QTensor))
 
 
 def shard_batch(mesh: Mesh, mel, tokens=None):

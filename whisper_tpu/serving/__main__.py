@@ -23,6 +23,9 @@ def main(argv=None) -> int:
     p.add_argument("--timestamps", action="store_true")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantize the cross-attention KV state")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard weights/KV over this "
+                        "many chips (heads+MLP over the model mesh axis)")
     p.add_argument("--timeout", type=float, default=300.0)
     args = p.parse_args(argv)
 
@@ -45,6 +48,12 @@ def main(argv=None) -> int:
         params = init_params(cfg)
     tok = get_tokenizer(cfg.is_multilingual, num_languages=cfg.num_languages)
 
+    mesh = None
+    if args.tp > 1:
+        from ..parallel.sharding import make_mesh
+
+        mesh = make_mesh(1, args.tp)
+
     engine = ContinuousBatchingEngine(
         params, cfg, tok,
         max_slots=args.slots,
@@ -53,6 +62,7 @@ def main(argv=None) -> int:
         max_tokens=args.max_tokens,
         timestamps=args.timestamps,
         kv_quant=args.kv_quant,
+        mesh=mesh,
     ).start()
 
     srv = make_server(engine, args.host, args.port, request_timeout_s=args.timeout)

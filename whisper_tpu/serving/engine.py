@@ -100,6 +100,7 @@ class ContinuousBatchingEngine:
         timestamps: bool = False,
         max_queue: int = 256,
         kv_quant: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -111,10 +112,30 @@ class ContinuousBatchingEngine:
         self.apply_filters = apply_filters
         self.timestamps = timestamps
         self.kv_quant = kv_quant
+        self.mesh = mesh
 
         from ..models.model import cast_floating
 
         self.params = cast_floating(params, compute_dtype)
+        if mesh is not None:
+            # tensor-parallel placement: weights sharded per param_specs, the
+            # slot KV/cross caches sharded over heads (MODEL axis); slot
+            # bookkeeping replicated. DP is done ACROSS engines (one per data
+            # replica) — the token loop must stay free of cross-host traffic
+            # (BASELINE.md scaling target), so one engine never spans hosts.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import MODEL_AXIS, shard_params
+
+            n_model = mesh.shape[MODEL_AXIS]
+            assert cfg.n_text_head % n_model == 0, (
+                f"n_text_head={cfg.n_text_head} not divisible by TP={n_model}")
+            self.params = shard_params(self.params, mesh, cfg)
+            self._kv_sharding = NamedSharding(
+                mesh, P(None, None, MODEL_AXIS, None, None))
+            self._rep_sharding = NamedSharding(mesh, P())
+        else:
+            self._kv_sharding = self._rep_sharding = None
         from ..sampling import build_suppress_ids
 
         self._suppress = (
@@ -148,6 +169,17 @@ class ContinuousBatchingEngine:
         self.done = jnp.zeros((B,), bool)
         self.rs = RuleState.create(B)
         self.limit = jnp.full((B,), T, jnp.int32)
+
+        if mesh is not None:
+            self.kv = KVCache(*(jax.device_put(x, self._kv_sharding) for x in self.kv))
+            self.cross = tuple(jax.device_put(x, self._kv_sharding) for x in self.cross)
+            rep = self._rep_sharding
+            self.tokens = jax.device_put(self.tokens, rep)
+            self.offsets = jax.device_put(self.offsets, rep)
+            self.active = jax.device_put(self.active, rep)
+            self.done = jax.device_put(self.done, rep)
+            self.rs = RuleState(*(jax.device_put(x, rep) for x in self.rs))
+            self.limit = jax.device_put(self.limit, rep)
 
         # host-side slot bookkeeping
         self._slot_req: List[Optional[Request]] = [None] * B
@@ -240,6 +272,8 @@ class ContinuousBatchingEngine:
 
         kv_quant = self.kv_quant
 
+        shard = self._kv_sharding
+
         def encode(params, mel, lengths):
             mel_feat = log_mel_batch(mel, lengths, n_mels=cfg.n_mels)
             mel_feat = mel_feat[..., : 2 * cfg.n_audio_ctx]
@@ -248,7 +282,10 @@ class ContinuousBatchingEngine:
             if kv_quant:
                 from ..models.model import quantize_cross_kv
 
-                return quantize_cross_kv(ckv)
+                ckv = quantize_cross_kv(ckv)
+            if shard is not None:
+                # land cross-KV head-sharded so the admit scatter is local
+                ckv = tuple(jax.lax.with_sharding_constraint(x, shard) for x in ckv)
             return tuple(ckv)
 
         return jax.jit(encode)
@@ -274,10 +311,16 @@ class ContinuousBatchingEngine:
     def _prefill_fn(self):
         cfg, dt = self.cfg, self.dt
 
+        shard = self._kv_sharding
+
         def prefill(params, cross, prompt):
             kv = KVCache.create(cfg, prompt.shape[0], dtype=dt)
             logits, kv = decoder_forward(params, prompt, 0, kv, cross, cfg, dt)
-            return logits[:, -1], kv.k, kv.v
+            kvk, kvv = kv.k, kv.v
+            if shard is not None:
+                kvk = jax.lax.with_sharding_constraint(kvk, shard)
+                kvv = jax.lax.with_sharding_constraint(kvv, shard)
+            return logits[:, -1], kvk, kvv
 
         return jax.jit(prefill)
 

@@ -129,17 +129,22 @@ class WhisperHandler(BaseHTTPRequestHandler):
         self._send(200, {})
 
     def do_POST(self):
-        if self.path not in ("/asr", "/transcribe"):
+        route, _, query = self.path.partition("?")
+        if route not in ("/asr", "/transcribe"):
             self._send(404, {"success": False, "error": "not found"})
             return
         try:
+            from urllib.parse import parse_qs
+
+            qs = {k: v[-1] for k, v in parse_qs(query).items()}
             length = int(self.headers.get("Content-Length", "0"))
             if length <= 0:
                 self._send(400, {"success": False, "error": "empty body"})
                 return
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
-            language, task = "zh", "transcribe"
+            language = qs.get("language", "zh")
+            task = qs.get("task", "transcribe")
 
             if ctype.startswith("multipart/form-data"):
                 fields = parse_multipart(body, ctype)
@@ -169,8 +174,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 self._send(400, {"success": False, "error": f"bad task {task!r}"})
                 return
 
-            stream = (self.headers.get("X-Stream") == "1"
-                      or "stream=1" in (self.path.split("?", 1) + [""])[1])
+            stream = self.headers.get("X-Stream") == "1" or qs.get("stream") == "1"
             if stream:
                 self._stream_request(audio, language, task)
                 return
