@@ -385,3 +385,29 @@ def test_http_query_string_params(http_server, rng):
         headers={"Content-Type": "application/octet-stream"})
     out = json.loads(urllib.request.urlopen(req, timeout=120).read())
     assert out["success"] and out["language"] == "en"
+
+
+def test_engine_self_kv_quant_matches_offline(nano_params, rng):
+    """Engine with the packed int8 self-KV cache must match the offline
+    greedy decoder running with the same quantization."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2,
+        compute_dtype=jnp.float32, steps_per_sync=2, max_tokens=10,
+        apply_filters=False, self_kv_quant=True,
+    ).start()
+    try:
+        wav = _audio(rng, 0.6)
+        res = eng.transcribe(wav, language="zh", timeout=120)
+    finally:
+        eng.stop()
+    got = [int(s) for s in res["text"].split()] if res["text"] else []
+
+    audio = np.zeros((1, N_SAMPLES), np.float32)
+    audio[0, : len(wav)] = wav
+    mel = log_mel_batch(jnp.asarray(audio), jnp.asarray([len(wav)], np.int32),
+                        n_mels=NANO.n_mels)[..., : 2 * NANO.n_audio_ctx]
+    prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")], jnp.int32)
+    ref = greedy_decode(nano_params, mel, prompt, NANO, max_tokens=10,
+                        self_kv_quant=True)
+    ref_ids = np.asarray(ref.tokens)[0, 4: np.asarray(ref.lengths)[0]].tolist()
+    assert got == ref_ids

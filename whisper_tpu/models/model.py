@@ -465,10 +465,11 @@ def decoder_step_multipos(
     vis = (key_pos <= offsets[:, None])[:, None, None, :]             # (B,1,1,T)
 
     kv_quant = len(cross_kv) == 4
+    self_quant = isinstance(kv, QKVCache)
 
     def scan_block(carry, inp):
         p, cross = inp[0], inp[1:]
-        x, kcache, vcache, layer = carry
+        x, kcache, vcache, layer = carry  # for QKVCache: (x, q, s, layer)
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
         k_new = _linear(h, p["attn"]["wk"], None, dt)
@@ -476,13 +477,26 @@ def decoder_step_multipos(
         # per-stream scatter: cache[layer, b, offsets[b], :] = new
         # head-major per-stream scatter: cache[l, b, :, offsets[b], :] = new
         dh = cfg.head_dim_text
-        kcache = kcache.at[layer, barange, :, offsets, :].set(
-            k_new[:, 0, :].reshape(B, n_head, dh).astype(kcache.dtype))
-        vcache = vcache.at[layer, barange, :, offsets, :].set(
-            v_new[:, 0, :].reshape(B, n_head, dh).astype(vcache.dtype))
-        k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
-        v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-        o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
+        kh = k_new[:, 0, :].reshape(B, n_head, dh)
+        vh = v_new[:, 0, :].reshape(B, n_head, dh)
+        if self_quant:
+            qn, sn = quantize_kv_heads(kh[:, :, None], vh[:, :, None])
+            # advanced-index scatter: (B,) batch + (B,) offsets -> (B, H, 2, dh)
+            kcache = kcache.at[layer, barange, :, offsets].set(qn[:, :, 0])
+            vcache = vcache.at[layer, barange, :, offsets].set(sn[:, :, 0])
+            o = attention_int8kv_perpos(
+                _split_heads(q, n_head),
+                jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False),
+                mask=vis)
+        else:
+            kcache = kcache.at[layer, barange, :, offsets, :].set(
+                kh.astype(kcache.dtype))
+            vcache = vcache.at[layer, barange, :, offsets, :].set(
+                vh.astype(vcache.dtype))
+            k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
+            v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
+            o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
         x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
@@ -501,7 +515,7 @@ def decoder_step_multipos(
         return (x, kcache, vcache, layer + 1), None
 
     (x, kc, vc, _), _ = jax.lax.scan(
-        scan_block, (x, kv.k, kv.v, 0), (dec["blocks"],) + tuple(cross_kv))
+        scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     # tied-embedding logits: compute-dtype inputs, fp32 accumulation — a
@@ -509,7 +523,7 @@ def decoder_step_multipos(
     # through HBM every decode step
     logits = jnp.einsum("bsd,vd->bsv", x.astype(dt), dec["tok_emb"].astype(dt),
                         preferred_element_type=jnp.float32)
-    return logits[:, 0], KVCache(kc, vc)
+    return logits[:, 0], type(kv)(kc, vc)
 
 
 # ------------------------------------------------------------------ init

@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     p.add_argument("--timestamps", action="store_true")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantize the cross-attention KV state")
+    p.add_argument("--self_kv_quant", action="store_true",
+                   help="int8-quantize the self-attention KV slot cache")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard weights/KV over this "
                         "many chips (heads+MLP over the model mesh axis)")
@@ -62,6 +64,7 @@ def main(argv=None) -> int:
         max_tokens=args.max_tokens,
         timestamps=args.timestamps,
         kv_quant=args.kv_quant,
+        self_kv_quant=args.self_kv_quant,
         mesh=mesh,
     ).start()
 

@@ -100,6 +100,7 @@ class ContinuousBatchingEngine:
         timestamps: bool = False,
         max_queue: int = 256,
         kv_quant: bool = False,
+        self_kv_quant: bool = False,
         mesh=None,
     ):
         self.cfg = cfg
@@ -112,6 +113,7 @@ class ContinuousBatchingEngine:
         self.apply_filters = apply_filters
         self.timestamps = timestamps
         self.kv_quant = kv_quant
+        self.self_kv_quant = self_kv_quant
         self.mesh = mesh
 
         from ..models.model import cast_floating
@@ -147,7 +149,14 @@ class ContinuousBatchingEngine:
         Ta = cfg.n_audio_ctx
         B = max_slots
         # device-resident slot state
-        self.kv = KVCache.create(cfg, B, dtype=compute_dtype)
+        if self_kv_quant:
+            from ..models.model import QKVCache
+
+            self._cache_cls = QKVCache
+            self.kv = QKVCache.create(cfg, B)
+        else:
+            self._cache_cls = KVCache
+            self.kv = KVCache.create(cfg, B, dtype=compute_dtype)
         H, dh = cfg.n_text_head, cfg.head_dim_text
         # cross-attention state as a tuple of parts: (k, v) in compute dtype,
         # or int8 payloads + fp32 scales when kv_quant is on
@@ -171,7 +180,8 @@ class ContinuousBatchingEngine:
         self.limit = jnp.full((B,), T, jnp.int32)
 
         if mesh is not None:
-            self.kv = KVCache(*(jax.device_put(x, self._kv_sharding) for x in self.kv))
+            self.kv = self._cache_cls(
+                *(jax.device_put(x, self._head_sharding(x.ndim)) for x in self.kv))
             self.cross = tuple(jax.device_put(x, self._kv_sharding) for x in self.cross)
             rep = self._rep_sharding
             self.tokens = jax.device_put(self.tokens, rep)
@@ -189,6 +199,21 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------- helpers
+    def _head_sharding(self, ndim: int):
+        """NamedSharding with the head axis (dim 2 of any KV-cache array)
+        over MODEL; works for rank-5 bf16 caches, rank-6 packed int8 caches
+        and rank-5 scale arrays."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import MODEL_AXIS
+
+        spec = [None] * ndim
+        spec[2] = MODEL_AXIS
+        return NamedSharding(self.mesh, P(*spec))
 
     # ------------------------------------------------------------- API
     def submit(self, req: Request) -> Future:
@@ -221,6 +246,7 @@ class ContinuousBatchingEngine:
         cfg, dt = self.cfg, self.dt
         suppress = self._suppress
         timestamps = self.timestamps
+        cache_cls = self._cache_cls
         use_rules = self.apply_filters or timestamps or suppress is not None
 
         def steps(params, tokens, offsets, active, done, limit, rs,
@@ -239,7 +265,7 @@ class ContinuousBatchingEngine:
                 pos = jnp.maximum(offsets - 1, 0)
                 cur = jnp.take_along_axis(tokens, pos[:, None], axis=1)[:, 0]
                 logits, kv = decoder_step_multipos(
-                    params, cur, pos, KVCache(kv_k, kv_v),
+                    params, cur, pos, cache_cls(kv_k, kv_v),
                     cross, cfg, dt)
                 if use_rules:
                     logits = apply_rules(logits, rs, cfg, suppress_ids=suppress,
@@ -257,7 +283,7 @@ class ContinuousBatchingEngine:
                 offsets = jnp.where(step_ok, offsets + 1, offsets)
                 st = jnp.stack([offsets, new_done.astype(jnp.int32),
                                 rs.last, rs.penult, rs.max_ts, rs.n_sampled], axis=1)
-                return (tokens, st, kv.k, kv.v), None
+                return (tokens, st, kv[0], kv[1]), None
 
             (tokens, st, kv_k, kv_v), _ = jax.lax.scan(
                 one, (tokens, st, kv_k, kv_v), None, length=n_steps)
@@ -313,13 +339,20 @@ class ContinuousBatchingEngine:
 
         shard = self._kv_sharding
 
+        cache_cls = self._cache_cls
+
         def prefill(params, cross, prompt):
-            kv = KVCache.create(cfg, prompt.shape[0], dtype=dt)
+            if cache_cls is KVCache:
+                kv = KVCache.create(cfg, prompt.shape[0], dtype=dt)
+            else:
+                kv = cache_cls.create(cfg, prompt.shape[0])
             logits, kv = decoder_forward(params, prompt, 0, kv, cross, cfg, dt)
-            kvk, kvv = kv.k, kv.v
+            kvk, kvv = kv[0], kv[1]
             if shard is not None:
-                kvk = jax.lax.with_sharding_constraint(kvk, shard)
-                kvv = jax.lax.with_sharding_constraint(kvv, shard)
+                kvk = jax.lax.with_sharding_constraint(
+                    kvk, self._head_sharding(kvk.ndim))
+                kvv = jax.lax.with_sharding_constraint(
+                    kvv, self._head_sharding(kvv.ndim))
             return logits[:, -1], kvk, kvv
 
         return jax.jit(prefill)
@@ -443,9 +476,9 @@ class ContinuousBatchingEngine:
             jnp.asarray(slot_idx), logits, kvk, kvv, src_cross,
             first, jnp.full((bucket,), P, jnp.int32), jnp.int32(lim),
             self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
-            self.kv.k, self.kv.v, self.cross,
+            self.kv[0], self.kv[1], self.cross,
             jnp.asarray(prompts), jnp.int32(n))
-        self.kv = KVCache(kv_k, kv_v)
+        self.kv = self._cache_cls(kv_k, kv_v)
 
         for i, r in zip(slots, newcomers):
             self._slot_req[i] = r
@@ -548,9 +581,9 @@ class ContinuousBatchingEngine:
                     (self.tokens, self.offsets, self.done, self.rs, kv_k, kv_v) = \
                         self._step_fn(self.params, self.tokens, self.offsets,
                                       self.active, self.done, self.limit, self.rs,
-                                      self.kv.k, self.kv.v, self.cross,
+                                      self.kv[0], self.kv[1], self.cross,
                                       self.steps_per_sync)
-                    self.kv = KVCache(kv_k, kv_v)
+                    self.kv = self._cache_cls(kv_k, kv_v)
                     self._harvest()
                 self.stats.busy_seconds_total += time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001 — engine thread must survive
