@@ -47,6 +47,40 @@ def test_flash_attention_bf16(rng):
     assert np.median(np.abs(got - ref) / denom) < 0.05
 
 
+def test_cross_attention_decode_matches_int8kv(rng):
+    from whisper_tpu.models.model import attention_int8kv, quantize_cross_kv
+    from whisper_tpu.ops.decode_attention import cross_attention_decode
+
+    B, H, T, dh = 2, 3, 300, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
+    ck = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    k_q, k_s, v_q, v_s = quantize_cross_kv((ck, cv))
+    args = (q, k_q[0], k_s[0], v_q[0], v_s[0])
+    ref = np.asarray(attention_int8kv(*args))
+    got = np.asarray(cross_attention_decode(*args, interpret=True))
+    assert got.shape == ref.shape == (B, H, 1, dh)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_cross_attention_decode_bf16_query(rng):
+    from whisper_tpu.models.model import attention_int8kv, quantize_cross_kv
+    from whisper_tpu.ops.decode_attention import cross_attention_decode
+
+    B, H, T, dh = 1, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ck = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    k_q, k_s, v_q, v_s = quantize_cross_kv((ck, cv))
+    args = (q, k_q[0], k_s[0], v_q[0], v_s[0])
+    ref = np.asarray(attention_int8kv(*args)).astype(np.float32)
+    got = np.asarray(cross_attention_decode(*args, interpret=True)).astype(np.float32)
+    assert got.dtype == ref.dtype
+    denom = np.maximum(np.abs(ref), 1e-1)
+    assert np.median(np.abs(got - ref) / denom) < 0.05
+
+
 def test_fused_mel_matches_jnp(rng):
     n = 16000 * 2
     x = (rng.standard_normal(n) * 0.2).astype(np.float32)

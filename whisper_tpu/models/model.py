@@ -254,6 +254,18 @@ def attention_int8kv(
     return (out.astype(jnp.float32) * v_s).astype(dt)  # fold V scales out
 
 
+def _use_decode_flash() -> bool:
+    """Gate for the fused Pallas cross-attention decode kernel
+    (ops.decode_attention): on for real TPU backends, overridable with
+    WHISPER_TPU_DECODE_FLASH=0/1 (same convention as WHISPER_TPU_FLASH)."""
+    import os
+
+    from ..ops.flash_attention import use_flash
+
+    flag = os.environ.get("WHISPER_TPU_DECODE_FLASH", "auto")
+    return use_flash() if flag == "auto" else flag == "1"
+
+
 # ------------------------------------------------------------------ decoder
 class KVCache(NamedTuple):
     """Self-attention KV cache, device-resident, head-major:
@@ -372,6 +384,7 @@ def decoder_forward(
 
     kv_quant = len(cross_kv) == 4  # (k_q, k_s, v_q, v_s) from quantize_cross_kv
     self_quant = isinstance(kv, QKVCache)
+    decode_flash = kv_quant and S == 1 and _use_decode_flash()
 
     # scan over layers; cross-kv per layer rides along as scanned inputs
     def scan_block(carry, inp):
@@ -408,7 +421,12 @@ def decoder_forward(
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        if kv_quant:
+        if decode_flash:
+            from ..ops.decode_attention import cross_attention_decode
+
+            o = cross_attention_decode(_split_heads(q, n_head), cross[0],
+                                       cross[1], cross[2], cross[3])
+        elif kv_quant:
             o = attention_int8kv(_split_heads(q, n_head), cross[0], cross[1],
                                  cross[2], cross[3])
         else:
@@ -466,6 +484,7 @@ def decoder_step_multipos(
 
     kv_quant = len(cross_kv) == 4
     self_quant = isinstance(kv, QKVCache)
+    decode_flash = kv_quant and _use_decode_flash()
 
     def scan_block(carry, inp):
         p, cross = inp[0], inp[1:]
@@ -501,7 +520,12 @@ def decoder_step_multipos(
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        if kv_quant:
+        if decode_flash:
+            from ..ops.decode_attention import cross_attention_decode
+
+            o = cross_attention_decode(_split_heads(q, n_head), cross[0],
+                                       cross[1], cross[2], cross[3])
+        elif kv_quant:
             o = attention_int8kv(_split_heads(q, n_head), cross[0], cross[1],
                                  cross[2], cross[3])
         else:
