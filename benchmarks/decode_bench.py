@@ -49,6 +49,7 @@ def build_step(variant: str, cfg, dt):
         attention,
         attention_int8kv,
         attention_int8kv_perpos,
+        attention_kvt,
         layer_norm,
         quantize_kv_heads,
     )
@@ -86,9 +87,9 @@ def build_step(variant: str, cfg, dt):
                     qn, sn = quantize_kv_heads(_split_heads(k_new, n_head),
                                                _split_heads(v_new, n_head))
                     kcache = jax.lax.dynamic_update_slice(
-                        kcache, qn[None], (layer, 0, 0, offset, 0, 0))
+                        kcache, qn[None], (layer, 0, 0, 0, 0, offset))
                     vcache = jax.lax.dynamic_update_slice(
-                        vcache, sn[None], (layer, 0, 0, offset, 0))
+                        vcache, sn[None], (layer, 0, 0, 0, offset))
                     o = attention_int8kv_perpos(
                         _split_heads(q, n_head),
                         jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False),
@@ -96,14 +97,16 @@ def build_step(variant: str, cfg, dt):
                         mask=vis)
                 else:
                     kcache = jax.lax.dynamic_update_slice(
-                        kcache, _split_heads(k_new, n_head).astype(kcache.dtype)[None],
-                        (layer, 0, 0, offset, 0))
+                        kcache,
+                        _split_heads(k_new, n_head).swapaxes(-1, -2).astype(kcache.dtype)[None],
+                        (layer, 0, 0, 0, offset))
                     vcache = jax.lax.dynamic_update_slice(
-                        vcache, _split_heads(v_new, n_head).astype(vcache.dtype)[None],
-                        (layer, 0, 0, offset, 0))
+                        vcache,
+                        _split_heads(v_new, n_head).swapaxes(-1, -2).astype(vcache.dtype)[None],
+                        (layer, 0, 0, 0, offset))
                     k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
                     v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-                    o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
+                    o = attention_kvt(_split_heads(q, n_head), k_full, v_full, mask=vis)
                 x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
             if do_cross:

@@ -81,6 +81,33 @@ def test_cross_attention_decode_bf16_query(rng):
     assert np.median(np.abs(got - ref) / denom) < 0.05
 
 
+def test_self_attention_decode_matches_masked_attention(rng):
+    from whisper_tpu.ops.decode_attention import self_attention_decode
+
+    B, H, T, dh = 3, 2, 64, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
+    offsets = jnp.asarray([0, 13, T - 1], jnp.int32)
+    vis = (jnp.arange(T)[None, :] <= offsets[:, None])[:, None, None, :]
+    ref = np.asarray(attention(q, k, v, mask=vis))
+    got = np.asarray(self_attention_decode(q, k, v, offsets, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_self_attention_decode_scalar_offset(rng):
+    from whisper_tpu.ops.decode_attention import self_attention_decode
+
+    B, H, T, dh = 2, 2, 32, 64
+    mk = lambda s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q, k, v = mk((B, H, 1, dh)), mk((B, H, T, dh)), mk((B, H, T, dh))
+    vis = (jnp.arange(T) <= 7)[None, None, None, :]
+    ref = np.asarray(attention(q, k, v, mask=vis))
+    got = np.asarray(self_attention_decode(q, k, v, 7, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_fused_mel_matches_jnp(rng):
     n = 16000 * 2
     x = (rng.standard_normal(n) * 0.2).astype(np.float32)

@@ -163,8 +163,8 @@ def test_int8_self_kv_close_to_fp(rng):
     vh = jnp.asarray(rng.standard_normal((B, H, T, dh)).astype(np.float32))
     q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
     kv_q, kv_s = quantize_kv_heads(kh, vh)
-    assert kv_q.shape == (B, H, T, 2, dh) and kv_q.dtype == jnp.int8
-    assert kv_s.shape == (B, H, T, 2)
+    assert kv_q.shape == (B, H, 2, dh, T) and kv_q.dtype == jnp.int8
+    assert kv_s.shape == (B, H, 2, T)
 
     ref = np.asarray(attention(q, kh, vh))
     got = np.asarray(attention_int8kv_perpos(q, kv_q, kv_s))

@@ -114,6 +114,29 @@ def attention(
     return out
 
 
+def attention_kvt(
+    q: jnp.ndarray,    # (B, H, Tq, dh)
+    k_t: jnp.ndarray,  # (B, H, dh, Tk) — transposed, position-minor
+    v_t: jnp.ndarray,  # (B, H, dh, Tk)
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, Tq, Tk)
+) -> jnp.ndarray:
+    """attention() over position-minor (transposed) K/V.
+
+    The decode KV caches are stored (..., dh, T) so every per-token read
+    streams T-contiguous rows instead of dh(=64)-byte ones — the layout
+    change alone made the cache reads ~2x faster on v5e (BENCH_NOTES.md).
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhdk->bhqk", q, k_t, preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * (dh ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhdk->bhqd", w.astype(v_t.dtype), v_t,
+                     preferred_element_type=v_t.dtype)
+    return out
+
+
 # ------------------------------------------------------------------ encoder
 def encoder_forward(
     params: Params,
@@ -215,15 +238,20 @@ def quantize_cross_kv(
     that is ~1.9 GB/step in bf16, the single largest HBM stream. Symmetric
     per-(layer, batch, head, channel) int8 halves it; the scales fold into
     the query (for K) and the attention output (for V), so the inner matmuls
-    stay exact up to the 8-bit rounding. Returns (k_q, k_s, v_q, v_s) with
-    q int8 (L,B,H,T,dh) and s fp32 (L,B,H,1,dh).
+    stay exact up to the 8-bit rounding.
+
+    The quantized arrays are stored TRANSPOSED — (L, B, H, dh, Ta) — so the
+    audio axis is minor: per-(b, h) rows are then Ta contiguous bytes (1500)
+    instead of dh (64), which is what makes the per-step reads DMA-efficient
+    (64-byte rows measured 1.7x slower end-to-end). Returns
+    (k_q, k_s, v_q, v_s): q int8 (L,B,H,dh,Ta), s fp32 (L,B,H,1,dh).
     """
     def quant(x):
-        x32 = x.astype(jnp.float32)
-        s = jnp.max(jnp.abs(x32), axis=3, keepdims=True) / 127.0
+        x32 = x.astype(jnp.float32)  # (L, B, H, Ta, dh)
+        s = jnp.max(jnp.abs(x32), axis=3, keepdims=True) / 127.0  # (L,B,H,1,dh)
         s = jnp.maximum(s, 1e-12)
         q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
-        return q, s
+        return q.transpose(0, 1, 2, 4, 3), s  # (L,B,H,dh,Ta)
 
     ck, cv = cross_kv
     k_q, k_s = quant(ck)
@@ -233,52 +261,55 @@ def quantize_cross_kv(
 
 def attention_int8kv(
     q: jnp.ndarray,    # (B, H, Tq, dh) compute dtype
-    k_q: jnp.ndarray,  # (B, H, Tk, dh) int8
+    k_q: jnp.ndarray,  # (B, H, dh, Tk) int8 (transposed, quantize_cross_kv)
     k_s: jnp.ndarray,  # (B, H, 1, dh) fp32
-    v_q: jnp.ndarray,  # (B, H, Tk, dh) int8
+    v_q: jnp.ndarray,  # (B, H, dh, Tk) int8 (transposed)
     v_s: jnp.ndarray,  # (B, H, 1, dh) fp32
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Attention against int8-quantized K/V with exact per-channel scaling."""
+    """Attention against transposed int8 K/V with exact per-channel scaling."""
     dt = q.dtype
     dh = q.shape[-1]
     q_scaled = (q.astype(jnp.float32) * k_s).astype(dt)  # fold K scales into q
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q_scaled, k_q.astype(dt),
+    scores = jnp.einsum("bhqd,bhdk->bhqk", q_scaled, k_q.astype(dt),
                         preferred_element_type=jnp.float32)
     scores = scores.astype(jnp.float32) * (dh ** -0.5)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.float32(-1e30))
     w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(dt), v_q.astype(dt),
+    out = jnp.einsum("bhqk,bhdk->bhqd", w.astype(dt), v_q.astype(dt),
                      preferred_element_type=dt)
     return (out.astype(jnp.float32) * v_s).astype(dt)  # fold V scales out
 
 
 def _use_decode_flash() -> bool:
     """Gate for the fused Pallas cross-attention decode kernel
-    (ops.decode_attention): on for real TPU backends, overridable with
-    WHISPER_TPU_DECODE_FLASH=0/1 (same convention as WHISPER_TPU_FLASH)."""
+    (ops.decode_attention), WHISPER_TPU_DECODE_FLASH=1 to enable.
+
+    Default OFF: with the transposed (position-minor) int8 KV layout, XLA's
+    own lowering reaches 5.0 ms/step on turbo B64 while the Pallas kernel
+    measured 7.4 (head-batched grid) — the kernel is kept as the measured
+    baseline for future decode-fusion work (BENCH_NOTES.md)."""
     import os
 
-    from ..ops.flash_attention import use_flash
-
-    flag = os.environ.get("WHISPER_TPU_DECODE_FLASH", "auto")
-    return use_flash() if flag == "auto" else flag == "1"
+    return os.environ.get("WHISPER_TPU_DECODE_FLASH", "0") == "1"
 
 
 # ------------------------------------------------------------------ decoder
 class KVCache(NamedTuple):
-    """Self-attention KV cache, device-resident, head-major:
-    k/v: (L, B, H, n_text_ctx, dh) — the layout decode attention consumes,
-    so cache reads need no per-step relayout."""
+    """Self-attention KV cache, device-resident, head-major and
+    position-minor: k/v (L, B, H, dh, n_text_ctx). Position-minor means each
+    per-(batch, head) read streams n_text_ctx-contiguous rows — with dh(=64)
+    minor the 64-byte rows halved the effective HBM bandwidth of the decode
+    step's dominant reads (measured on v5e, BENCH_NOTES.md)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
 
     @classmethod
     def create(cls, cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> "KVCache":
-        shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.n_text_ctx,
-                 cfg.head_dim_text)
+        shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.head_dim_text,
+                 cfg.n_text_ctx)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -287,8 +318,9 @@ class QKVCache(NamedTuple):
     decode loop's carry arity matches the bf16 cache (2 leaves — carry arity
     is the AOT TPU compiler's compile-time killer, BENCH_NOTES.md):
 
-    q: (L, B, H, T, 2, dh) int8 — [..., 0, :] = K, [..., 1, :] = V
-    s: (L, B, H, T, 2) fp32 — symmetric per-(position, head) scales over dh
+    q: (L, B, H, 2, dh, T) int8 — [..., 0, :, :] = Kᵀ, [..., 1, :, :] = Vᵀ
+       (position-minor, same DMA-efficiency rationale as KVCache)
+    s: (L, B, H, 2, T) fp32 — symmetric per-(position, head) scales over dh
 
     The scales apply exactly outside the MXU matmuls: score rows scale by
     s_k AFTER q·k_q, attention weights scale by s_v BEFORE w·v_q — no
@@ -301,36 +333,37 @@ class QKVCache(NamedTuple):
     def create(cls, cfg: WhisperConfig, batch: int) -> "QKVCache":
         L, H, T, dh = (cfg.n_text_layer, cfg.n_text_head, cfg.n_text_ctx,
                        cfg.head_dim_text)
-        return cls(jnp.zeros((L, batch, H, T, 2, dh), jnp.int8),
-                   jnp.ones((L, batch, H, T, 2), jnp.float32))
+        return cls(jnp.zeros((L, batch, H, 2, dh, T), jnp.int8),
+                   jnp.ones((L, batch, H, 2, T), jnp.float32))
 
 
 def quantize_kv_heads(kh: jnp.ndarray, vh: jnp.ndarray):
-    """(B, H, S, dh) k/v -> packed int8 (B, H, S, 2, dh) + scales (B, H, S, 2)."""
-    x = jnp.stack([kh, vh], axis=3).astype(jnp.float32)  # (B, H, S, 2, dh)
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-12) / 127.0
+    """(B, H, S, dh) k/v -> packed transposed int8 (B, H, 2, dh, S)
+    + scales (B, H, 2, S)."""
+    x = jnp.stack([kh, vh], axis=2).astype(jnp.float32)  # (B, H, 2, S, dh)
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-12) / 127.0  # (B, H, 2, S)
     q = jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(jnp.int8)
-    return q, s
+    return q.swapaxes(-1, -2), s  # (B, H, 2, dh, S)
 
 
 def attention_int8kv_perpos(
     q: jnp.ndarray,     # (B, H, Tq, dh) compute dtype
-    kv_q: jnp.ndarray,  # (B, H, Tk, 2, dh) int8 packed
-    kv_s: jnp.ndarray,  # (B, H, Tk, 2) fp32
+    kv_q: jnp.ndarray,  # (B, H, 2, dh, Tk) int8 packed transposed
+    kv_s: jnp.ndarray,  # (B, H, 2, Tk) fp32
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Attention against a packed per-position int8 KV cache (exact scaling)."""
     dt = q.dtype
     dh = q.shape[-1]
-    k_q, v_q = kv_q[..., 0, :], kv_q[..., 1, :]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_q.astype(dt),
+    k_q, v_q = kv_q[:, :, 0], kv_q[:, :, 1]  # (B, H, dh, Tk)
+    scores = jnp.einsum("bhqd,bhdk->bhqk", q, k_q.astype(dt),
                         preferred_element_type=jnp.float32)
-    scores = scores * kv_s[..., 0][:, :, None, :] * (dh ** -0.5)
+    scores = scores * kv_s[:, :, 0][:, :, None, :] * (dh ** -0.5)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.float32(-1e30))
     w = jax.nn.softmax(scores, axis=-1)
-    w = (w * kv_s[..., 1][:, :, None, :]).astype(dt)  # fold V scales into weights
-    return jnp.einsum("bhqk,bhkd->bhqd", w, v_q.astype(dt),
+    w = (w * kv_s[:, :, 1][:, :, None, :]).astype(dt)  # fold V scales into weights
+    return jnp.einsum("bhqk,bhdk->bhqd", w, v_q.astype(dt),
                       preferred_element_type=dt)
 
 
@@ -398,25 +431,28 @@ def decoder_forward(
             qn, sn = quantize_kv_heads(_split_heads(k_new, n_head),
                                        _split_heads(v_new, n_head))
             kcache = jax.lax.dynamic_update_slice(
-                kcache, qn[None], (layer, 0, 0, offset, 0, 0))
+                kcache, qn[None], (layer, 0, 0, 0, 0, offset))
             vcache = jax.lax.dynamic_update_slice(
-                vcache, sn[None], (layer, 0, 0, offset, 0))
+                vcache, sn[None], (layer, 0, 0, 0, offset))
             o = attention_int8kv_perpos(
                 _split_heads(q, n_head),
                 jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False),
                 jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False),
                 mask=vis)
         else:
-            # head-major write: (B, S, D) -> (1, B, H, S, dh) at [layer,:,:,offset]
+            # position-minor write: (B, S, D) -> (1, B, H, dh, S) at
+            # [layer, :, :, :, offset]
             kcache = jax.lax.dynamic_update_slice(
-                kcache, _split_heads(k_new, n_head).astype(kcache.dtype)[None],
-                (layer, 0, 0, offset, 0))
+                kcache,
+                _split_heads(k_new, n_head).swapaxes(-1, -2).astype(kcache.dtype)[None],
+                (layer, 0, 0, 0, offset))
             vcache = jax.lax.dynamic_update_slice(
-                vcache, _split_heads(v_new, n_head).astype(vcache.dtype)[None],
-                (layer, 0, 0, offset, 0))
+                vcache,
+                _split_heads(v_new, n_head).swapaxes(-1, -2).astype(vcache.dtype)[None],
+                (layer, 0, 0, 0, offset))
             k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
             v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-            o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
+            o = attention_kvt(_split_heads(q, n_head), k_full, v_full, mask=vis)
         x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
@@ -493,29 +529,29 @@ def decoder_step_multipos(
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
         k_new = _linear(h, p["attn"]["wk"], None, dt)
         v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
-        # per-stream scatter: cache[layer, b, offsets[b], :] = new
-        # head-major per-stream scatter: cache[l, b, :, offsets[b], :] = new
+        # per-stream scatter: cache[l, b, :, :, offsets[b]] = new (position-minor)
         dh = cfg.head_dim_text
         kh = k_new[:, 0, :].reshape(B, n_head, dh)
         vh = v_new[:, 0, :].reshape(B, n_head, dh)
         if self_quant:
             qn, sn = quantize_kv_heads(kh[:, :, None], vh[:, :, None])
-            # advanced-index scatter: (B,) batch + (B,) offsets -> (B, H, 2, dh)
-            kcache = kcache.at[layer, barange, :, offsets].set(qn[:, :, 0])
-            vcache = vcache.at[layer, barange, :, offsets].set(sn[:, :, 0])
+            # advanced-index scatter: (B,) batch + (B,) offsets ->
+            # target (B, H, 2, dh) / (B, H, 2)
+            kcache = kcache.at[layer, barange, :, :, :, offsets].set(qn[..., 0])
+            vcache = vcache.at[layer, barange, :, :, offsets].set(sn[..., 0])
             o = attention_int8kv_perpos(
                 _split_heads(q, n_head),
                 jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False),
                 jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False),
                 mask=vis)
         else:
-            kcache = kcache.at[layer, barange, :, offsets, :].set(
+            kcache = kcache.at[layer, barange, :, :, offsets].set(
                 kh.astype(kcache.dtype))
-            vcache = vcache.at[layer, barange, :, offsets, :].set(
+            vcache = vcache.at[layer, barange, :, :, offsets].set(
                 vh.astype(vcache.dtype))
             k_full = jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False).astype(dt)
             v_full = jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False).astype(dt)
-            o = attention(_split_heads(q, n_head), k_full, v_full, mask=vis)
+            o = attention_kvt(_split_heads(q, n_head), k_full, v_full, mask=vis)
         x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])

@@ -31,31 +31,109 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 
-def _kernel(q_ref, ks_ref, vs_ref, kq_ref, vq_ref, o_ref, *, scale: float):
-    """One (batch*head) program: int8-KV attention for a single query."""
-    # fold K's per-channel scales into the query (exact: symmetric
-    # per-(head, channel) quantization, same trick as attention_int8kv)
-    qs = (q_ref[0].astype(jnp.float32) * ks_ref[0] * scale).astype(jnp.bfloat16)
-    k = kq_ref[0].astype(jnp.bfloat16)                     # (T, dh)
+def _self_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, n_head: int):
+    """One (batch*head) program: masked self-attention for a single query.
+
+    ``off_ref`` (SMEM, scalar-prefetched) holds each stream's current write
+    position; cache slots beyond it are masked (matches the visibility rule
+    key_pos <= offset in models.model.decoder_forward)."""
+    b = pl.program_id(0)
+    off = off_ref[b // n_head]
+    q = q_ref[0].astype(jnp.float32) * scale               # (1, dh)
+    k = k_ref[0].astype(jnp.float32)                       # (T, dh)
     s = jax.lax.dot_general(
-        k, qs, (((1,), (1,)), ((), ())),
+        k, q, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # (T, 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(pos <= off, s, jnp.float32(-1e30))
 
     m = jnp.max(s, axis=0, keepdims=True)
     p = jnp.exp(s - m)
     w = p / jnp.sum(p, axis=0, keepdims=True)              # (T, 1) fp32
 
-    v = vq_ref[0].astype(jnp.float32)                      # (T, dh)
+    v = v_ref[0].astype(jnp.float32)                       # (T, dh)
     o = jnp.sum(w * v, axis=0, keepdims=True)              # (1, dh)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def self_attention_decode(
+    q: jnp.ndarray,        # (B, H, 1, dh) compute dtype
+    k: jnp.ndarray,        # (B, H, T, dh) cache dtype (bf16/fp32)
+    v: jnp.ndarray,        # (B, H, T, dh)
+    offsets: jnp.ndarray,  # (B,) or scalar int32: per-stream attend position
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-query masked self-attention over the KV cache.
+
+    Equivalent to models.model.attention(q, k, v, mask=key_pos <= offset)
+    for S=1 queries; reads the cache once in VMEM instead of XLA's
+    mask-materialize + M=1 einsum chain. Returns (B, H, 1, dh) in q.dtype.
+    """
+    B, H, _, dh = q.shape
+    T = k.shape[2]
+    scale = dh ** -0.5
+    offs = jnp.broadcast_to(jnp.asarray(offsets, jnp.int32), (B,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, 1, dh), lambda b, offs: (b, 0, 0)),
+            pl.BlockSpec((1, T, dh), lambda b, offs: (b, 0, 0)),
+            pl.BlockSpec((1, T, dh), lambda b, offs: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, dh), lambda b, offs: (b, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_self_kernel, scale=scale, n_head=H),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, 1, dh), q.dtype),
+        interpret=interpret,
+    )(offs, q.reshape(B * H, 1, dh), k.reshape(B * H, T, dh),
+      v.reshape(B * H, T, dh))
+    return out.reshape(B, H, 1, dh)
+
+
+def _kernel(q_ref, ks_ref, vs_ref, kq_ref, vq_ref, o_ref, *,
+            scale: float, n_head: int, dh: int):
+    """One program = all ``n_head`` heads of one (batch, head-group) slice.
+
+    K/V arrive TRANSPOSED (H*dh, T): the audio axis is minor, so each VMEM
+    row is T contiguous bytes (1500) — the (T, dh) layout's 64-byte rows made
+    the HBM reads 1.7x slower than XLA's stock lowering. Heads are batched
+    into one grid cell (static in-kernel loop) because a per-(batch, head)
+    grid is 5120 steps/token at Turbo B64 and step overhead dominated. Both
+    reductions per head are MXU dots. All-f32: Mosaic's M=1 matmul lowering
+    rejects mixed bf16->f32.
+    """
+    # fold K's per-channel scales into the query (exact: symmetric
+    # per-(head, channel) quantization, same trick as attention_int8kv)
+    qs = q_ref[0].astype(jnp.float32) * ks_ref[0] * scale  # (H, dh)
+    outs = []
+    for g in range(n_head):
+        k = kq_ref[0, g * dh:(g + 1) * dh, :].astype(jnp.float32)  # (dh, T)
+        s = jax.lax.dot_general(
+            qs[g:g + 1], k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (1, T)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        w = p / jnp.sum(p, axis=1, keepdims=True)          # (1, T) fp32
+
+        v = vq_ref[0, g * dh:(g + 1) * dh, :].astype(jnp.float32)  # (dh, T)
+        outs.append(jax.lax.dot_general(
+            w, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))           # (1, dh)
+    o = jnp.concatenate(outs, axis=0)                      # (H, dh)
     o_ref[0] = (o * vs_ref[0]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def cross_attention_decode(
     q: jnp.ndarray,    # (B, H, 1, dh) compute dtype
-    k_q: jnp.ndarray,  # (B, H, T, dh) int8
+    k_q: jnp.ndarray,  # (B, H, dh, T) int8 (transposed, quantize_cross_kv)
     k_s: jnp.ndarray,  # (B, H, 1, dh) fp32
-    v_q: jnp.ndarray,  # (B, H, T, dh) int8
+    v_q: jnp.ndarray,  # (B, H, dh, T) int8 (transposed)
     v_s: jnp.ndarray,  # (B, H, 1, dh) fp32
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -65,27 +143,34 @@ def cross_attention_decode(
     attention is over the full audio context).
     """
     B, H, _, dh = q.shape
-    T = k_q.shape[2]
+    T = k_q.shape[-1]
     scale = dh ** -0.5
 
-    qf = q.reshape(B * H, 1, dh)
-    ksf = k_s.astype(jnp.float32).reshape(B * H, 1, dh)
-    vsf = v_s.astype(jnp.float32).reshape(B * H, 1, dh)
-    kqf = k_q.reshape(B * H, T, dh)
-    vqf = v_q.reshape(B * H, T, dh)
+    # head group size: all heads of a stream per cell while the K+V blocks
+    # (2 * G * dh * T int8, double-buffered) stay well inside VMEM
+    G = H
+    while 4 * G * dh * T > 8 * 1024 * 1024 and G % 2 == 0:
+        G //= 2
+    n_cells = B * H // G
+
+    qf = q.reshape(n_cells, G, dh)
+    ksf = k_s.astype(jnp.float32).reshape(n_cells, G, dh)
+    vsf = v_s.astype(jnp.float32).reshape(n_cells, G, dh)
+    kqf = k_q.reshape(n_cells, G * dh, T)
+    vqf = v_q.reshape(n_cells, G * dh, T)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
-        grid=(B * H,),
+        functools.partial(_kernel, scale=scale, n_head=G, dh=dh),
+        grid=(n_cells,),
         in_specs=[
-            pl.BlockSpec((1, 1, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, 1, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, 1, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, T, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, T, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, G, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, G, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, G, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, G * dh, T), lambda b: (b, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, G * dh, T), lambda b: (b, 0, 0), memory_space=_VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, 1, dh), q.dtype),
+        out_specs=pl.BlockSpec((1, G, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_cells, G, dh), q.dtype),
         interpret=interpret,
     )(qf, ksf, vsf, kqf, vqf)
     return out.reshape(B, H, 1, dh)

@@ -159,12 +159,13 @@ class ContinuousBatchingEngine:
             self.kv = KVCache.create(cfg, B, dtype=compute_dtype)
         H, dh = cfg.n_text_head, cfg.head_dim_text
         # cross-attention state as a tuple of parts: (k, v) in compute dtype,
-        # or int8 payloads + fp32 scales when kv_quant is on
+        # or int8 payloads + fp32 scales when kv_quant is on (transposed
+        # audio-minor layout, models.model.quantize_cross_kv)
         if kv_quant:
             self.cross = (
-                jnp.zeros((L, B, H, Ta, dh), jnp.int8),
+                jnp.zeros((L, B, H, dh, Ta), jnp.int8),
                 jnp.zeros((L, B, H, 1, dh), jnp.float32),
-                jnp.zeros((L, B, H, Ta, dh), jnp.int8),
+                jnp.zeros((L, B, H, dh, Ta), jnp.int8),
                 jnp.zeros((L, B, H, 1, dh), jnp.float32),
             )
         else:
