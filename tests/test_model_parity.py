@@ -155,3 +155,15 @@ def test_init_params_shapes():
     assert p["encoder"]["blocks"]["attn"]["wq"].shape == (2, 64, 64)
     assert p["decoder"]["tok_emb"].shape == (CFG.n_vocab, 64)
     assert p["decoder"]["blocks"]["cross"]["wk"].shape == (2, 64, 64)
+
+
+def test_gelu_tanh_knob_stays_close(params, rng, monkeypatch):
+    """WHISPER_TPU_GELU=tanh is an opt-in approximation: output stays close
+    to the exact-erf default (which must be byte-identical when unset)."""
+    mel = rng.standard_normal((1, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+    exact = np.asarray(encoder_forward(params, jnp.asarray(mel), CFG, jnp.float32))
+    monkeypatch.setenv("WHISPER_TPU_GELU", "tanh")
+    approx = np.asarray(encoder_forward(params, jnp.asarray(mel), CFG, jnp.float32))
+    denom = np.maximum(np.abs(exact), 1e-2)
+    assert np.median(np.abs(approx - exact) / denom) < 0.02
+    assert not np.array_equal(approx, exact)  # the knob actually switched paths

@@ -54,6 +54,19 @@ def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5
     return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(orig)
 
 
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU with an opt-in tanh approximation (``WHISPER_TPU_GELU=tanh``).
+
+    Whisper uses exact (erf) GELU — that stays the default for checkpoint
+    parity. The tanh form avoids the erf transcendental on the VPU over the
+    (B, 1500, 4D) MLP hidden tensor, a bandwidth/VPU-bound chunk of encoder
+    time at turbo B64; max deviation is ~1e-3 absolute in bf16 range.
+    """
+    import os
+
+    return jax.nn.gelu(x, approximate=os.environ.get("WHISPER_TPU_GELU") == "tanh")
+
+
 def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
     from ..ops.quant import QTensor
 
@@ -156,8 +169,8 @@ def encoder_forward(
         )
         return y + b.astype(dt)
 
-    x = jax.nn.gelu(conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1), approximate=False)
-    x = jax.nn.gelu(conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2), approximate=False)
+    x = _gelu(conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = _gelu(conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
     x = x + enc["pos_emb"][: x.shape[1]].astype(dt)
 
     n_head = cfg.n_audio_head
@@ -183,7 +196,7 @@ def encoder_forward(
         x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
-        h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
+        h = _gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt))
         x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return x, None
 
@@ -471,7 +484,7 @@ def decoder_forward(
         x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
-        h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
+        h = _gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt))
         x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return (x, kcache, vcache, layer + 1), None
 
@@ -570,7 +583,7 @@ def decoder_step_multipos(
         x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
-        h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt), approximate=False)
+        h = _gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt))
         x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return (x, kcache, vcache, layer + 1), None
 
