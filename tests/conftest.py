@@ -28,8 +28,24 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def demo_wav_path():
-    p = "/root/reference/demo.wav"
-    if not os.path.exists(p):
-        pytest.skip("demo.wav not available")
-    return p
+def demo_wav_path(tmp_path_factory):
+    """A real on-disk WAV for IO tests: synthesized speech-band chirp.
+
+    Self-contained — the suite must pass without the reference checkout
+    (its demo.wav is only a convenience clip, not a golden fixture here).
+    """
+    import wave
+
+    path = tmp_path_factory.mktemp("audio") / "demo.wav"
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    # chirp 200->3000 Hz with an amplitude envelope, plus a quiet tail
+    f = 200 + (3000 - 200) * t / t[-1]
+    y = 0.5 * np.sin(2 * np.pi * f * t) * np.hanning(len(t))
+    pcm = (np.clip(y, -1, 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return str(path)

@@ -6,9 +6,8 @@ tokens, sot-sequence construction, timestamp decode, non-speech token set,
 and word splitting for languages without spaces.
 
 The BPE rank table (``multilingual.tiktoken``/``gpt2.tiktoken``) is OpenAI's
-public vocab asset; it is located at runtime via :func:`find_vocab_file`
-(env var ``WHISPER_TPU_VOCAB``, ``assets/``, or an installed reference
-checkout) rather than vendored.
+public vocab asset (MIT), vendored in ``assets/`` so the framework stands
+alone; :func:`find_vocab_file` also honors ``WHISPER_TPU_VOCAB``.
 """
 
 from __future__ import annotations
@@ -68,7 +67,6 @@ def _vocab_search_paths(name: str):
     return (
         os.path.join(os.path.dirname(__file__), "..", "assets", name),
         os.path.join(os.path.dirname(__file__), "assets", name),
-        f"/root/reference/python/assets/{name}",
     )
 
 
@@ -232,59 +230,82 @@ class Tokenizer:
 
     @cached_property
     def non_speech_tokens(self) -> Tuple[int, ...]:
-        """Tokens to suppress to avoid hallucinated non-speech annotations.
+        """Token ids to suppress so decoding never emits bracketed/markup
+        non-speech annotations (♪♪, ((, 「 ...).
 
-        Same symbol list as the reference (python/whisper_tokenizer.py:241-275).
+        Symbol inventory is OpenAI Whisper's public list (MIT); a symbol is
+        suppressed in both bare and space-prefixed form when it maps to a
+        single token, and musical notes are suppressed by their first token
+        even when multi-token.
         """
-        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
-        symbols += "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
-        miscellaneous = set("♩♪♫♬♭♮♯")
-        result = {self.encoding.encode(" -")[0], self.encoding.encode(" '")[0]}
-        for symbol in symbols + list(miscellaneous):
-            for tokens in [self.encoding.encode(symbol), self.encoding.encode(" " + symbol)]:
-                if len(tokens) == 1 or symbol in miscellaneous:
-                    result.add(tokens[0])
-        return tuple(sorted(result))
+        single_chars = '"#()*+/:;<=>@[\\]^_`{|}~「」『』'
+        multi_chars = (
+            "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪"
+        ).split()
+        notes = "♩♪♫♬♭♮♯"
+        ids = {self.encode(" -")[0], self.encode(" '")[0]}
+        for sym in [*single_chars, *multi_chars, *notes]:
+            for variant in (sym, " " + sym):
+                toks = self.encode(variant)
+                if len(toks) == 1 or sym in notes:
+                    ids.add(toks[0])
+        return tuple(sorted(ids))
 
-    # ---- word splitting (zh/ja/th/lo/my have no spaces) ----
+    # ---- word splitting ----------------------------------------------
+    # Algorithm follows OpenAI Whisper's tokenizer (MIT license); the
+    # implementation below is this repo's own. Reference carries the same
+    # upstream code at python/whisper_tokenizer.py:286-327.
+
     def split_to_word_tokens(self, tokens: Sequence[int]):
         if self.language in {"zh", "ja", "th", "lo", "my", "yue"}:
+            # scripts without inter-word whitespace: every complete
+            # codepoint run is its own "word"
             return self.split_tokens_on_unicode(tokens)
         return self.split_tokens_on_spaces(tokens)
 
     def split_tokens_on_unicode(self, tokens: Sequence[int]):
-        decoded_full = self.decode_with_timestamps(tokens)
-        replacement_char = "�"
-        words, word_tokens = [], []
-        current_tokens: List[int] = []
-        unicode_offset = 0
-        for token in tokens:
-            current_tokens.append(int(token))
-            decoded = self.decode_with_timestamps(current_tokens)
-            if (
-                replacement_char not in decoded
-                or decoded_full[unicode_offset + decoded.index(replacement_char)] == replacement_char
-            ):
-                words.append(decoded)
-                word_tokens.append(current_tokens)
-                current_tokens = []
-                unicode_offset += len(decoded)
-        return words, word_tokens
+        """Group tokens into minimal runs that decode to whole codepoints.
+
+        Byte-level BPE can split a multi-byte UTF-8 character across tokens;
+        a run is complete once its decode contains no U+FFFD replacement
+        char — unless the full text genuinely has U+FFFD at that offset.
+        """
+        full_text = self.decode_with_timestamps(tokens)
+        bad = "�"
+        words: List[str] = []
+        groups: List[List[int]] = []
+        pending: List[int] = []
+        done_len = 0
+        for tok in map(int, tokens):
+            pending.append(tok)
+            text = self.decode_with_timestamps(pending)
+            i = text.find(bad)
+            incomplete = i >= 0 and full_text[done_len + i] != bad
+            if not incomplete:
+                words.append(text)
+                groups.append(pending)
+                pending = []
+                done_len += len(text)
+        return words, groups
 
     def split_tokens_on_spaces(self, tokens: Sequence[int]):
-        subwords, subword_tokens_list = self.split_tokens_on_unicode(tokens)
-        words, word_tokens = [], []
-        for subword, subword_tokens in zip(subwords, subword_tokens_list):
-            special = subword_tokens[0] >= self.eot
-            with_space = subword.startswith(" ")
-            punctuation = subword.strip() in string.punctuation
-            if special or with_space or punctuation or len(words) == 0:
-                words.append(subword)
-                word_tokens.append(subword_tokens)
+        """Merge codepoint runs into space-delimited words (spaced scripts)."""
+        words: List[str] = []
+        groups: List[List[int]] = []
+        for piece, toks in zip(*self.split_tokens_on_unicode(tokens)):
+            begins_word = (
+                not words
+                or toks[0] >= self.eot  # special tokens stand alone
+                or piece.startswith(" ")
+                or piece.strip() in string.punctuation
+            )
+            if begins_word:
+                words.append(piece)
+                groups.append(list(toks))
             else:
-                words[-1] = words[-1] + subword
-                word_tokens[-1].extend(subword_tokens)
-        return words, word_tokens
+                words[-1] += piece
+                groups[-1] += toks
+        return words, groups
 
 
 def get_tokenizer(
