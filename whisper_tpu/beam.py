@@ -55,15 +55,9 @@ def _gather_beams(x: jnp.ndarray, src: jnp.ndarray, B: int, K: int) -> jnp.ndarr
     return out.reshape(B * K, *x.shape[1:])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "beam_size", "compute_dtype", "prompt_len",
-                     "max_tokens", "timestamps", "apply_filters",
-                     "length_penalty", "kv_quant"),
-)
-def beam_search(
+def _beam_from_kv(
     params: Params,
-    mel: jnp.ndarray,     # (B, n_mels, 3000)
+    cross_kv,             # 2- or 4-tuple, every leaf (L, B, ...)
     prompt: jnp.ndarray,  # (B, P) int32
     cfg: WhisperConfig,
     beam_size: int = 5,
@@ -74,9 +68,12 @@ def beam_search(
     timestamps: bool = False,
     apply_filters: bool = True,
     length_penalty: Optional[float] = None,
-    kv_quant: bool = False,
+    prompt_pad: Optional[jnp.ndarray] = None,  # (B,) int32 left-pad lengths
+    sot_index: int = 0,
+    self_kv_quant: bool = False,
 ) -> BeamResult:
-    B = mel.shape[0]
+    """Beam loop against precomputed cross-KV (trace fn; see beam_search)."""
+    B = prompt.shape[0]
     K = beam_size
     N = B * K
     P = prompt_len or prompt.shape[1]
@@ -90,23 +87,25 @@ def beam_search(
         return apply_rules(logits, state, cfg, suppress_ids=suppress_ids,
                            timestamps=timestamps)
 
-    # ---- encode once per utterance, prefill once per utterance, then tile
-    audio = encoder_forward(params, mel, cfg, compute_dtype)
-    ckv_k, ckv_v = compute_cross_kv(params, audio, cfg, compute_dtype)
-    kv = KVCache.create(cfg, B, dtype=compute_dtype)
-    logits, kv = decoder_forward(params, prompt, 0, kv, (ckv_k, ckv_v), cfg, compute_dtype)
-    no_speech_prob = jax.nn.softmax(logits[:, 0].astype(jnp.float32),
+    # ---- prefill once per utterance, then tile per beam
+    if self_kv_quant:
+        from .models.model import QKVCache
+
+        kv = QKVCache.create(cfg, B)
+    else:
+        kv = KVCache.create(cfg, B, dtype=compute_dtype)
+    cache_cls = type(kv)
+    logits, kv = decoder_forward(params, prompt, 0, kv, cross_kv, cfg,
+                                 compute_dtype, pad=prompt_pad)
+    no_speech_prob = jax.nn.softmax(logits[:, sot_index].astype(jnp.float32),
                                     axis=-1)[:, cfg.no_speech]
 
     def tile(x, axis):  # repeat each utterance K times along `axis`
         return jnp.repeat(x, K, axis=axis)
 
-    ckv = (tile(ckv_k, 1), tile(ckv_v, 1))
-    if kv_quant:
-        from .models.model import quantize_cross_kv
-
-        ckv = quantize_cross_kv(ckv)
-    kv = KVCache(tile(kv.k, 1), tile(kv.v, 1))
+    ckv = tuple(tile(a, 1) for a in cross_kv)
+    kv = cache_cls(tile(kv[0], 1), tile(kv[1], 1))
+    pad_n = tile(prompt_pad, 0) if prompt_pad is not None else None
 
     tokens = jnp.full((N, T), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
@@ -151,7 +150,8 @@ def beam_search(
     def body(c: Carry):
         tok_i = jax.lax.dynamic_slice(c.tokens, (0, c.i), (N, 1))
         logits, new_kv = decoder_forward(
-            params, tok_i, c.i, KVCache(c.kv_k, c.kv_v), ckv, cfg, compute_dtype)
+            params, tok_i, c.i, cache_cls(c.kv_k, c.kv_v), ckv, cfg,
+            compute_dtype, pad=pad_n)
         lp = jax.nn.log_softmax(
             filt(logits[:, 0], c.rs).astype(jnp.float32), axis=-1)  # (N, V)
 
@@ -188,9 +188,9 @@ def beam_search(
         tokens = _gather_beams(c.tokens, flat_src, B, K)
         tokens = jax.lax.dynamic_update_slice(tokens, new_tok.reshape(N, 1), (0, c.i + 1))
         kv_k = jnp.moveaxis(
-            _gather_beams(jnp.moveaxis(new_kv.k, 1, 0), flat_src, B, K), 0, 1)
+            _gather_beams(jnp.moveaxis(new_kv[0], 1, 0), flat_src, B, K), 0, 1)
         kv_v = jnp.moveaxis(
-            _gather_beams(jnp.moveaxis(new_kv.v, 1, 0), flat_src, B, K), 0, 1)
+            _gather_beams(jnp.moveaxis(new_kv[1], 1, 0), flat_src, B, K), 0, 1)
         rs = RuleState(
             last=_gather_beams(c.rs.last, flat_src, B, K),
             penult=_gather_beams(c.rs.penult, flat_src, B, K),
@@ -205,8 +205,8 @@ def beam_search(
         tokens=tokens,
         scores=scores,
         n_gen=jnp.ones((B, K), jnp.int32),
-        kv_k=kv.k,
-        kv_v=kv.v,
+        kv_k=kv[0],
+        kv_v=kv[1],
         rs=rs,
         fin_scores=fin_scores,
         fin_tokens=fin_tokens,
@@ -263,3 +263,78 @@ def beam_search(
     return BeamResult(best_tokens, best_lens, best_scores,
                       out.fin_tokens, out.fin_scores,
                       no_speech_prob=no_speech_prob, avg_logprob=best_scores)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "beam_size", "compute_dtype", "prompt_len",
+                     "max_tokens", "timestamps", "apply_filters",
+                     "length_penalty", "kv_quant", "sot_index",
+                     "self_kv_quant"),
+)
+def beam_search(
+    params: Params,
+    mel: jnp.ndarray,     # (B, n_mels, 3000)
+    prompt: jnp.ndarray,  # (B, P) int32
+    cfg: WhisperConfig,
+    beam_size: int = 5,
+    compute_dtype=jnp.float32,
+    prompt_len: Optional[int] = None,
+    max_tokens: Optional[int] = None,
+    suppress_ids: Optional[jnp.ndarray] = None,
+    timestamps: bool = False,
+    apply_filters: bool = True,
+    length_penalty: Optional[float] = None,
+    kv_quant: bool = False,
+    prompt_pad: Optional[jnp.ndarray] = None,
+    sot_index: int = 0,
+    self_kv_quant: bool = False,
+) -> BeamResult:
+    """Encoder + beam loop in one compiled program (see module docstring)."""
+    audio = encoder_forward(params, mel, cfg, compute_dtype)
+    cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
+    if kv_quant:
+        from .models.model import quantize_cross_kv
+
+        cross_kv = quantize_cross_kv(cross_kv)
+    return _beam_from_kv(
+        params, cross_kv, prompt, cfg, beam_size=beam_size,
+        compute_dtype=compute_dtype, prompt_len=prompt_len,
+        max_tokens=max_tokens, suppress_ids=suppress_ids,
+        timestamps=timestamps, apply_filters=apply_filters,
+        length_penalty=length_penalty, prompt_pad=prompt_pad,
+        sot_index=sot_index, self_kv_quant=self_kv_quant)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "beam_size", "compute_dtype", "prompt_len",
+                     "max_tokens", "timestamps", "apply_filters",
+                     "length_penalty", "sot_index", "self_kv_quant"),
+)
+def beam_search_kv(
+    params: Params,
+    cross_kv,             # 2- or 4-tuple from decode.encode_cross_kv
+    prompt: jnp.ndarray,  # (B, P) int32
+    cfg: WhisperConfig,
+    beam_size: int = 5,
+    compute_dtype=jnp.float32,
+    prompt_len: Optional[int] = None,
+    max_tokens: Optional[int] = None,
+    suppress_ids: Optional[jnp.ndarray] = None,
+    timestamps: bool = False,
+    apply_filters: bool = True,
+    length_penalty: Optional[float] = None,
+    prompt_pad: Optional[jnp.ndarray] = None,
+    sot_index: int = 0,
+    self_kv_quant: bool = False,
+) -> BeamResult:
+    """beam_search against precomputed cross-KV — shares one encoder pass
+    with language detection and the pipeline's retry ladder."""
+    return _beam_from_kv(
+        params, cross_kv, prompt, cfg, beam_size=beam_size,
+        compute_dtype=compute_dtype, prompt_len=prompt_len,
+        max_tokens=max_tokens, suppress_ids=suppress_ids,
+        timestamps=timestamps, apply_filters=apply_filters,
+        length_penalty=length_penalty, prompt_pad=prompt_pad,
+        sot_index=sot_index, self_kv_quant=self_kv_quant)

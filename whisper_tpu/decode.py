@@ -34,16 +34,47 @@ class GreedyResult(NamedTuple):
     avg_logprob: jnp.ndarray  # (B,) fp32: mean logprob of sampled tokens (incl. eot)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
-                     "timestamps", "apply_filters", "kv_quant",
-                     "temperature", "seed", "sot_index", "self_kv_quant"),
-)
-def greedy_decode(
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "kv_quant"))
+def encode_cross_kv(
     params: Params,
     mel: jnp.ndarray,  # (B, n_mels, 3000)
-    prompt: jnp.ndarray,  # (B, P) int32 — usually [sot, lang, task, no_ts]
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+    kv_quant: bool = False,
+):
+    """Encoder + per-layer cross-attention K/V in one compiled program.
+
+    The reference bakes the cross-KV projections into its encoder graph so
+    they run once per utterance (model_convert/export_onnx.py:205-213); this
+    is the same contract as a standalone jit so language detection, decoding
+    and the temperature-retry ladder can all share ONE encoder pass
+    (the engine does the same at serving/engine.py). Returns a 2-tuple
+    (k, v) each (L, B, H, Ta, dh), or the 4-tuple int8 form when
+    ``kv_quant`` (see models.model.quantize_cross_kv).
+    """
+    audio = encoder_forward(params, mel, cfg, compute_dtype)
+    cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
+    if kv_quant:
+        from .models.model import quantize_cross_kv
+
+        cross_kv = quantize_cross_kv(cross_kv)
+    return cross_kv
+
+
+def index_cross_kv(cross_kv, idx):
+    """Select a batch subset of a (possibly int8-quantized) cross-KV tuple.
+
+    Every leaf is (L, B, ...) — batch is axis 1. Used by the pipeline's
+    temperature-retry ladder to re-decode only the failed utterances without
+    re-running the encoder.
+    """
+    return tuple(a[:, idx] for a in cross_kv)
+
+
+def _greedy_from_kv(
+    params: Params,
+    cross_kv,
+    prompt: jnp.ndarray,
     cfg: WhisperConfig,
     compute_dtype=jnp.float32,
     prompt_len: Optional[int] = None,
@@ -51,31 +82,16 @@ def greedy_decode(
     suppress_ids: Optional[jnp.ndarray] = None,
     timestamps: bool = False,
     apply_filters: bool = False,
-    kv_quant: bool = False,
     temperature: float = 0.0,
     seed: int = 0,
-    prompt_pad: Optional[jnp.ndarray] = None,  # (B,) int32 left-pad lengths
+    prompt_pad: Optional[jnp.ndarray] = None,
     sot_index: int = 0,
     self_kv_quant: bool = False,
 ) -> GreedyResult:
-    """Encoder + prefill + greedy token loop in one compiled program.
-
-    Matches the reference's decode semantics (greedy argmax, stop at eot or
-    n_text_ctx, python/whisper.py:224-253) with batching the reference lacks
-    (batch hardcoded to 1 at python/whisper.py:192). With
-    ``apply_filters``/``timestamps`` the full OpenAI suppression/timestamp
-    grammar (whisper_tpu.sampling) runs on-device each step.
-
-    ``prompt_pad`` enables condition-on-previous-text: per-stream prompts
-    ``[sot_prev, *prev_tokens, sot, lang, task]`` of differing lengths are
-    right-aligned in the (B, P) prompt with left padding that is masked out
-    of attention and skipped in positional indexing (see
-    models.model.decoder_forward). ``sot_index`` is the column of the sot
-    token (where the no-speech probability is read, OpenAI semantics).
-    """
+    """Prefill + greedy token loop against precomputed cross-KV (trace fn)."""
     from .sampling import RuleState, apply_rules
 
-    B = mel.shape[0]
+    B = prompt.shape[0]
     P = prompt_len or prompt.shape[1]
     T = cfg.n_text_ctx
     limit = min(T, P + max_tokens) if max_tokens else T
@@ -88,12 +104,6 @@ def greedy_decode(
         return apply_rules(logits, state, cfg, suppress_ids=suppress_ids,
                            timestamps=timestamps)
 
-    audio = encoder_forward(params, mel, cfg, compute_dtype)
-    cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
-    if kv_quant:
-        from .models.model import quantize_cross_kv
-
-        cross_kv = quantize_cross_kv(cross_kv)
     if self_kv_quant:
         from .models.model import QKVCache
 
@@ -206,6 +216,96 @@ def greedy_decode(
                         avg_logprob=sum_lp / jnp.maximum(n_lp, 1.0))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
+                     "timestamps", "apply_filters", "kv_quant",
+                     "temperature", "seed", "sot_index", "self_kv_quant"),
+)
+def greedy_decode(
+    params: Params,
+    mel: jnp.ndarray,  # (B, n_mels, 3000)
+    prompt: jnp.ndarray,  # (B, P) int32 — usually [sot, lang, task, no_ts]
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+    prompt_len: Optional[int] = None,
+    max_tokens: Optional[int] = None,
+    suppress_ids: Optional[jnp.ndarray] = None,
+    timestamps: bool = False,
+    apply_filters: bool = False,
+    kv_quant: bool = False,
+    temperature: float = 0.0,
+    seed: int = 0,
+    prompt_pad: Optional[jnp.ndarray] = None,  # (B,) int32 left-pad lengths
+    sot_index: int = 0,
+    self_kv_quant: bool = False,
+) -> GreedyResult:
+    """Encoder + prefill + greedy token loop in one compiled program.
+
+    Matches the reference's decode semantics (greedy argmax, stop at eot or
+    n_text_ctx, python/whisper.py:224-253) with batching the reference lacks
+    (batch hardcoded to 1 at python/whisper.py:192). With
+    ``apply_filters``/``timestamps`` the full OpenAI suppression/timestamp
+    grammar (whisper_tpu.sampling) runs on-device each step.
+
+    ``prompt_pad`` enables condition-on-previous-text: per-stream prompts
+    ``[sot_prev, *prev_tokens, sot, lang, task]`` of differing lengths are
+    right-aligned in the (B, P) prompt with left padding that is masked out
+    of attention and skipped in positional indexing (see
+    models.model.decoder_forward). ``sot_index`` is the column of the sot
+    token (where the no-speech probability is read, OpenAI semantics).
+    """
+    audio = encoder_forward(params, mel, cfg, compute_dtype)
+    cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
+    if kv_quant:
+        from .models.model import quantize_cross_kv
+
+        cross_kv = quantize_cross_kv(cross_kv)
+    return _greedy_from_kv(
+        params, cross_kv, prompt, cfg, compute_dtype=compute_dtype,
+        prompt_len=prompt_len, max_tokens=max_tokens,
+        suppress_ids=suppress_ids, timestamps=timestamps,
+        apply_filters=apply_filters, temperature=temperature, seed=seed,
+        prompt_pad=prompt_pad, sot_index=sot_index,
+        self_kv_quant=self_kv_quant)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "prompt_len", "max_tokens",
+                     "timestamps", "apply_filters", "temperature", "seed",
+                     "sot_index", "self_kv_quant"),
+)
+def greedy_decode_kv(
+    params: Params,
+    cross_kv,  # 2- or 4-tuple from encode_cross_kv
+    prompt: jnp.ndarray,
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+    prompt_len: Optional[int] = None,
+    max_tokens: Optional[int] = None,
+    suppress_ids: Optional[jnp.ndarray] = None,
+    timestamps: bool = False,
+    apply_filters: bool = False,
+    temperature: float = 0.0,
+    seed: int = 0,
+    prompt_pad: Optional[jnp.ndarray] = None,
+    sot_index: int = 0,
+    self_kv_quant: bool = False,
+) -> GreedyResult:
+    """greedy_decode against precomputed cross-KV (one encoder pass can feed
+    language detection, decode AND the retry ladder — the reference has no
+    equivalent reuse; its closest analog is the DMA'd cross-KV handoff at
+    cpp/src/Whisper.cpp:260-288)."""
+    return _greedy_from_kv(
+        params, cross_kv, prompt, cfg, compute_dtype=compute_dtype,
+        prompt_len=prompt_len, max_tokens=max_tokens,
+        suppress_ids=suppress_ids, timestamps=timestamps,
+        apply_filters=apply_filters, temperature=temperature, seed=seed,
+        prompt_pad=prompt_pad, sot_index=sot_index,
+        self_kv_quant=self_kv_quant)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def detect_language(
     params: Params,
@@ -220,9 +320,13 @@ def detect_language(
     detection; this provides it. Returns (lang_index (B,), probs (B, n_lang))
     where lang_index is an offset into the canonical language list.
     """
-    B = mel.shape[0]
     audio = encoder_forward(params, mel, cfg, compute_dtype)
     cross_kv = compute_cross_kv(params, audio, cfg, compute_dtype)
+    return _detect_language_from_kv(params, cross_kv, cfg, compute_dtype)
+
+
+def _detect_language_from_kv(params, cross_kv, cfg, compute_dtype):
+    B = cross_kv[0].shape[1]  # every leaf is (L, B, ...)
     kv = KVCache.create(cfg, B, dtype=compute_dtype)
     sot = jnp.full((B, 1), cfg.sot, jnp.int32)
     logits, _ = decoder_forward(params, sot, 0, kv, cross_kv, cfg, compute_dtype)
@@ -231,6 +335,18 @@ def detect_language(
     )
     probs = jax.nn.softmax(lang_logits, axis=-1)
     return jnp.argmax(lang_logits, axis=-1), probs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def detect_language_kv(
+    params: Params,
+    cross_kv,  # 2- or 4-tuple from encode_cross_kv
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """detect_language against precomputed cross-KV — lets the pipeline run
+    the encoder ONCE per batch and share it with the decode pass."""
+    return _detect_language_from_kv(params, cross_kv, cfg, compute_dtype)
 
 
 def extract_texts(result, prompt_len: int, tokenizer, timestamps: bool = False) -> list:

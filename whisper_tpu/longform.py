@@ -82,6 +82,23 @@ def _bucket_prev(n: int) -> int:
     return _PREV_BUCKETS[-1]
 
 
+def silence_mask(result, no_speech_threshold, logprob_threshold) -> np.ndarray:
+    """OpenAI no-speech gate (whisper/transcribe.py semantics): a segment is
+    silent — its text dropped / its window skipped — when the no-speech
+    probability exceeds ``no_speech_threshold``, UNLESS the decode was
+    confident anyway (avg_logprob above ``logprob_threshold``). The reference
+    has no equivalent: it always emits the argmax tokens, so silence
+    hallucinates text with real weights."""
+    nsp = np.asarray(result.no_speech_prob)
+    if no_speech_threshold is None:
+        return np.zeros(nsp.shape[0], bool)
+    silent = nsp > no_speech_threshold
+    if logprob_threshold is not None:
+        confident = np.asarray(result.avg_logprob) > logprob_threshold
+        silent &= ~confident
+    return silent
+
+
 def transcribe_seek(pipe, waves, language: str):
     """Timestamp-conditioned sliding-window long-form transcription.
 
@@ -155,21 +172,43 @@ def transcribe_seek(pipe, waves, language: str):
             P = len(sot_seq)
             prompts = np.tile(sot_seq[None], (bucket, 1))
             prompt_pad, sot_index = None, 0
-        res = greedy_decode(
-            pipe.params, log_mel_batch(jnp.asarray(batch), jnp.asarray(lengths),
-                                       n_mels=cfg.n_mels),
-            jnp.asarray(prompts), cfg,
-            compute_dtype=pipe.compute_dtype, suppress_ids=suppress,
-            timestamps=True, apply_filters=True, kv_quant=pipe.kv_quant,
-            self_kv_quant=getattr(pipe, "self_kv_quant", False),
-            max_tokens=pipe.max_tokens,
-            prompt_pad=prompt_pad, sot_index=sot_index,
-        )
+        mel = log_mel_batch(jnp.asarray(batch), jnp.asarray(lengths),
+                            n_mels=cfg.n_mels)
+        if getattr(pipe, "beam_size", 0) and pipe.beam_size > 1:
+            from .beam import beam_search
+
+            res = beam_search(
+                pipe.params, mel, jnp.asarray(prompts), cfg,
+                beam_size=pipe.beam_size,
+                compute_dtype=pipe.compute_dtype, suppress_ids=suppress,
+                timestamps=True, apply_filters=True, kv_quant=pipe.kv_quant,
+                self_kv_quant=getattr(pipe, "self_kv_quant", False),
+                max_tokens=pipe.max_tokens,
+                prompt_pad=prompt_pad, sot_index=sot_index,
+            )
+        else:
+            res = greedy_decode(
+                pipe.params, mel, jnp.asarray(prompts), cfg,
+                compute_dtype=pipe.compute_dtype, suppress_ids=suppress,
+                timestamps=True, apply_filters=True, kv_quant=pipe.kv_quant,
+                self_kv_quant=getattr(pipe, "self_kv_quant", False),
+                max_tokens=pipe.max_tokens,
+                prompt_pad=prompt_pad, sot_index=sot_index,
+            )
         win_texts = extract_texts(res, P, pipe.tokenizer, timestamps=True)
+        silent = silence_mask(res, getattr(pipe, "no_speech_threshold", 0.6),
+                              getattr(pipe, "logprob_threshold", -1.0))
         for j, i in enumerate(live):
             base_s = seeks[i] / 16000.0
             win_len = int(lengths[j])
             last_window = seeks[i] + win_len >= len(waves[i])
+            if silent[j]:
+                # OpenAI seek semantics: no-speech window -> emit nothing,
+                # advance a full window (whisper/transcribe.py should_skip)
+                seeks[i] += N_SAMPLES
+                if last_window or seeks[i] >= len(waves[i]):
+                    done[i] = True
+                continue
             segs = parse_segments(win_texts[j])
             complete = [s for s in segs if s[1] is not None]
             if last_window or not complete:

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import N_SAMPLES, get_config
-from .decode import detect_language, extract_texts, greedy_decode
+from .decode import (
+    detect_language_kv,
+    encode_cross_kv,
+    extract_texts,
+    greedy_decode_kv,
+    index_cross_kv,
+)
 from .models.checkpoint import load_checkpoint
 from .models.model import init_params
 from .ops.audio import load_audio
@@ -158,8 +164,14 @@ class WhisperPipeline:
         batch, lengths, secs = self._prepare_batch(flat_waves)
         mel = log_mel_batch(batch, lengths, n_mels=self.cfg.n_mels)
 
+        # ONE encoder pass feeds language detection, decode and the retry
+        # ladder (the reference's closest analog is its DMA'd cross-KV
+        # handoff, cpp/src/Whisper.cpp:260-288)
+        cross_kv = encode_cross_kv(self.params, mel, self.cfg,
+                                   self.compute_dtype, kv_quant=self.kv_quant)
         if language is None:
-            lang_idx, _ = detect_language(self.params, mel, self.cfg, self.compute_dtype)
+            lang_idx, _ = detect_language_kv(
+                self.params, cross_kv, self.cfg, self.compute_dtype)
             codes = list(LANGUAGES.keys())
             langs = [codes[int(i)] for i in np.asarray(lang_idx)]  # per chunk
         else:
@@ -170,11 +182,11 @@ class WhisperPipeline:
             prompts = prompts[:, :-1]  # drop <|notimestamps|>
         suppress = jnp.asarray(self._suppress_ids) if self._suppress_ids is not None else None
         if self.beam_size and self.beam_size > 1:
-            from .beam import beam_search
+            from .beam import beam_search_kv
 
-            result = beam_search(
+            result = beam_search_kv(
                 self.params,
-                mel,
+                cross_kv,
                 jnp.asarray(prompts),
                 self.cfg,
                 beam_size=self.beam_size,
@@ -183,12 +195,12 @@ class WhisperPipeline:
                 suppress_ids=suppress,
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
-                kv_quant=self.kv_quant,
+                self_kv_quant=self.self_kv_quant,
             )
         else:
-            result = greedy_decode(
+            result = greedy_decode_kv(
                 self.params,
-                mel,
+                cross_kv,
                 jnp.asarray(prompts),
                 self.cfg,
                 compute_dtype=self.compute_dtype,
@@ -196,14 +208,17 @@ class WhisperPipeline:
                 suppress_ids=suppress,
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
-                kv_quant=self.kv_quant,
                 self_kv_quant=self.self_kv_quant,
                 temperature=self.temperature,
             )
-            if self.temperature_fallback:
-                result = self._temperature_retry(result, mel, prompts, suppress)
+        # OpenAI's temperature ladder falls back from beam/greedy at t=0 to
+        # sampling at increasing temperatures; it applies to both paths
+        if self.temperature_fallback:
+            result = self._temperature_retry(result, cross_kv, prompts, suppress)
         texts = extract_texts(result, prompts.shape[1], self.tokenizer,
                               timestamps=self.timestamps)
+        silent = self._silence_mask(result)
+        texts = ["" if s else t for t, s in zip(texts, silent)]
         wall = time.perf_counter() - t0
         toks = np.asarray(result.tokens)
         lens = np.asarray(result.lengths)
@@ -242,8 +257,15 @@ class WhisperPipeline:
             return 0.0
         return len(raw) / max(len(zlib.compress(raw)), 1)
 
+    def _silence_mask(self, result) -> np.ndarray:
+        from .longform import silence_mask
+
+        return silence_mask(result, self.no_speech_threshold,
+                            self.logprob_threshold)
+
     def _needs_retry(self, result, prompts) -> np.ndarray:
-        """OpenAI failure criteria: repetitive text or low confidence."""
+        """OpenAI failure criteria: repetitive text or low confidence —
+        except silent segments, which are skipped, not retried."""
         texts = extract_texts(result, prompts.shape[1], self.tokenizer,
                               timestamps=self.timestamps)
         avg_lp = np.asarray(result.avg_logprob)
@@ -253,21 +275,22 @@ class WhisperPipeline:
                 bad[i] = True
             elif avg_lp[i] < self.logprob_threshold:
                 bad[i] = True
-        return bad
+        return bad & ~self._silence_mask(result)
 
-    def _temperature_retry(self, result, mel, prompts, suppress):
+    def _temperature_retry(self, result, cross_kv, prompts, suppress):
         """Whisper's temperature ladder: re-decode failed utterances at
-        increasing temperatures until the quality criteria pass
-        (OpenAI decode semantics the reference has no equivalent of)."""
+        increasing temperatures until the quality criteria pass (OpenAI
+        decode semantics the reference has no equivalent of). Reuses the
+        batch's cross-KV — the encoder never re-runs."""
         ladder = [t for t in (0.2, 0.4, 0.6, 0.8, 1.0) if t > self.temperature]
         for temp in ladder:
             bad = self._needs_retry(result, prompts)
             if not bad.any():
                 break
             idx = np.nonzero(bad)[0]
-            sub = greedy_decode(
+            sub = greedy_decode_kv(
                 self.params,
-                mel[idx],
+                index_cross_kv(cross_kv, idx),
                 jnp.asarray(prompts[idx]),
                 self.cfg,
                 compute_dtype=self.compute_dtype,
@@ -275,7 +298,6 @@ class WhisperPipeline:
                 suppress_ids=suppress,
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
-                kv_quant=self.kv_quant,
                 self_kv_quant=self.self_kv_quant,
                 temperature=temp,
                 seed=int(temp * 1000),
