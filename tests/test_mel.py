@@ -98,3 +98,26 @@ def test_per_utterance_max_is_independent(rng):
     n_valid = 16000 // HOP_LENGTH + 1
     np.testing.assert_allclose(got[1, :, : n_valid - 3], solo[:, : n_valid - 3],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_mel_matches_transformers_feature_extractor(rng):
+    """Independent-implementation golden: our log-mel must match HuggingFace's
+    WhisperFeatureExtractor (a faithful numpy port of OpenAI's frontend) to
+    float32 round-off, for both mel sizes and partial-length audio.
+
+    This replaces the self-referential numpy-FFT golden as the external
+    parity anchor (the reference validates its mel only implicitly through
+    on-device WER, python/whisper.py:131-166)."""
+    transformers = pytest.importorskip("transformers")
+
+    for n, n_mels in ((N_SAMPLES, 80), (N_SAMPLES, 128), (123456, 80)):
+        audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        fe = transformers.WhisperFeatureExtractor(
+            feature_size=n_mels, sampling_rate=16000, hop_length=HOP_LENGTH,
+            chunk_length=30, n_fft=400)
+        ref = fe(audio, sampling_rate=16000, padding="max_length",
+                 return_tensors="np")["input_features"][0]
+        got = np.asarray(M.log_mel_spectrogram(
+            jnp.asarray(audio), n_mels=n_mels, padding="audio_zero"))[0]
+        assert got.shape == ref.shape == (n_mels, N_FRAMES)
+        np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-5)
