@@ -87,6 +87,54 @@ def measure(model: str, per_chip_batch: int, n_tokens: int, tp: int,
     return results
 
 
+def drive_serving(url: str, concurrency: int, n_requests: int,
+                  seconds_per_clip: float, language: str) -> dict:
+    """Load-drive a running server or DP router at ``url``: post raw-PCM
+    /asr requests at fixed concurrency, report aggregate audio-s/s and the
+    per-backend request distribution from /metrics (router mode).
+
+        python -m whisper_tpu.serving --dp 2 ... &
+        python benchmarks/scaling.py --url http://127.0.0.1:8000
+    """
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(int(16000 * seconds_per_clip)) * 0.1
+           ).astype(np.float32).tobytes()
+
+    def one(_):
+        req = urllib.request.Request(
+            f"{url}/asr?language={language}", data=pcm,
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read().decode()).get("success", False)
+
+    one(0)  # warm the compile caches before timing
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        oks = list(ex.map(one, range(n_requests)))
+    wall = time.perf_counter() - t0
+    out = {
+        "url": url,
+        "requests": n_requests,
+        "concurrency": concurrency,
+        "ok": int(sum(oks)),
+        "wall_s": round(wall, 3),
+        "audio_seconds_per_second": round(
+            n_requests * seconds_per_clip / wall, 2),
+    }
+    try:
+        with urllib.request.urlopen(f"{url}/metrics", timeout=10) as r:
+            m = json.loads(r.read().decode())
+        if "backends" in m:  # router: record the fan-out
+            out["per_backend_requests"] = [
+                b.get("router_requests", 0) for b in m["backends"]]
+    except OSError:
+        pass
+    return out
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="tiny")
@@ -95,7 +143,19 @@ def main() -> int:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--url", default=None,
+                   help="serving mode: load-drive a running server/router "
+                        "instead of the jit-level mesh sweep")
+    p.add_argument("--concurrency", type=int, default=16)
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--clip-seconds", type=float, default=10.0)
+    p.add_argument("--language", default="zh")
     args = p.parse_args()
+    if args.url:
+        print(json.dumps(drive_serving(args.url, args.concurrency,
+                                       args.requests, args.clip_seconds,
+                                       args.language)))
+        return 0
     res = measure(args.model, args.per_chip_batch, args.tokens, args.tp,
                   args.repeats, args.dtype)
     print(json.dumps(res))

@@ -1,13 +1,111 @@
 """Server entry point — counterpart of python/whisper_svr.py:99-108 and
-cpp/whisper_srv.cpp, with continuous batching.
+cpp/whisper_srv.cpp, with continuous batching and data-parallel scale-out.
 
+    # one engine, one server (the reference shape, but batched):
     python -m whisper_tpu.serving --model_type tiny --port 8000 --slots 8
+
+    # N data-parallel replicas behind one router on --port
+    # (single host: workers are subprocesses, chip i pinned per worker):
+    python -m whisper_tpu.serving --dp 2 --model_type tiny --port 8000
+
+    # multi-host: run one worker per host, then a router anywhere:
+    python -m whisper_tpu.serving --backends http://h0:8001,http://h1:8001
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+def _wait_healthy(url: str, timeout_s: float = 120.0) -> bool:
+    import http.client
+    import time
+    from urllib.parse import urlsplit
+
+    u = urlsplit(url)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            c = http.client.HTTPConnection(u.hostname, u.port, timeout=2)
+            c.request("GET", "/health")
+            if c.getresponse().status == 200:
+                return True
+        except OSError:
+            pass
+        time.sleep(0.25)
+    return False
+
+
+def _run_dp(args) -> int:
+    """Spawn one single-engine worker subprocess per data replica and front
+    them with the router. One replica never spans hosts/processes, so the
+    decode loop stays free of cross-replica traffic (BASELINE.md scaling
+    target; design note at parallel/distributed.py)."""
+    import os
+    import subprocess
+
+    from .router import make_router
+
+    ports = [args.port + 1 + i for i in range(args.dp)]
+    workers = []
+    for i, port in enumerate(ports):
+        cmd = [sys.executable, "-m", "whisper_tpu.serving",
+               "--host", "127.0.0.1", "--port", str(port),
+               "--model_type", args.model_type,
+               "--slots", str(args.slots), "--dtype", args.dtype,
+               "--steps_per_sync", str(args.steps_per_sync),
+               "--tp", str(args.tp), "--timeout", str(args.timeout)]
+        if args.checkpoint:
+            cmd += ["--checkpoint", args.checkpoint]
+        if args.max_tokens:
+            cmd += ["--max_tokens", str(args.max_tokens)]
+        for flag in ("timestamps", "kv_quant", "self_kv_quant"):
+            if getattr(args, flag):
+                cmd.append(f"--{flag}")
+        env = dict(os.environ)
+        if args.tp == 1:
+            # pin one chip per replica (harmless on the CPU backend)
+            env.setdefault("TPU_VISIBLE_CHIPS", str(i))
+            env.setdefault("TPU_VISIBLE_DEVICES", str(i))
+        workers.append(subprocess.Popen(cmd, env=env))
+
+    urls = [f"http://127.0.0.1:{p}" for p in ports]
+    try:
+        for u in urls:
+            if not _wait_healthy(u, timeout_s=args.worker_startup_timeout):
+                raise RuntimeError(f"worker {u} failed to come up")
+        srv = make_router(urls, args.host, args.port)
+        print(f"whisper_tpu router on {args.host}:{args.port} "
+              f"-> {args.dp} replicas {urls}", file=sys.stderr, flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+    finally:
+        for w in workers:
+            w.terminate()
+        for w in workers:
+            try:
+                w.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                w.kill()
+    return 0
+
+
+def _run_router(args) -> int:
+    from .router import make_router
+
+    urls = [u if "//" in u else f"http://{u}"
+            for u in args.backends.split(",") if u]
+    srv = make_router(urls, args.host, args.port)
+    print(f"whisper_tpu router on {args.host}:{args.port} -> {urls}",
+          file=sys.stderr, flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
 
 
 def main(argv=None) -> int:
@@ -28,8 +126,20 @@ def main(argv=None) -> int:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard weights/KV over this "
                         "many chips (heads+MLP over the model mesh axis)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel replicas: spawn this many single-"
+                        "engine workers (subprocesses) behind a router")
+    p.add_argument("--backends", default=None,
+                   help="router-only mode: comma-separated worker URLs "
+                        "(one engine per host for multi-host serving)")
+    p.add_argument("--worker_startup_timeout", type=float, default=300.0)
     p.add_argument("--timeout", type=float, default=300.0)
     args = p.parse_args(argv)
+
+    if args.backends:
+        return _run_router(args)
+    if args.dp > 1:
+        return _run_dp(args)
 
     from ..utils import compilation_cache
 

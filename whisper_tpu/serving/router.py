@@ -1,0 +1,258 @@
+"""Data-parallel request router: the multi-host serving front-end.
+
+The reference serializes every request on one NPU behind one server process
+(cpp/whisper_srv.cpp:10-70; python/whisper_svr.py:87-88). The TPU scaling
+story is DP-first (parallel/distributed.py): one continuous-batching engine
+per data replica — a replica never spans hosts, so the token loop carries
+zero cross-host traffic — and this router in front, speaking the exact same
+wire protocols (/asr multipart + octet-stream, /health, /metrics).
+
+Routing policy: least-in-flight among healthy backends (round-robin tie
+break). A backend answering 503 (engine backpressure) or failing to connect
+is skipped for ``cooldown_s`` and the request retries on the next one, so a
+slow or dead replica degrades capacity instead of availability.
+"""
+
+from __future__ import annotations
+
+import http.client
+import itertools
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+from urllib.parse import urlsplit
+
+HOP_HEADERS = {
+    "connection", "keep-alive", "transfer-encoding", "te", "trailer",
+    "upgrade", "proxy-authenticate", "proxy-authorization", "host",
+    "content-length", "server", "date",
+}
+
+
+@dataclass
+class Backend:
+    """One data-parallel replica (an engine + server, usually one per host)."""
+
+    url: str  # http://host:port
+    in_flight: int = 0
+    requests_total: int = 0
+    errors_total: int = 0
+    down_until: float = 0.0
+    lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    @property
+    def hostport(self) -> Tuple[str, int]:
+        u = urlsplit(self.url if "//" in self.url else f"http://{self.url}")
+        return u.hostname or "127.0.0.1", u.port or 80
+
+    def healthy(self) -> bool:
+        return time.monotonic() >= self.down_until
+
+
+class Router:
+    """Thread-safe backend pool with least-in-flight selection."""
+
+    def __init__(self, backend_urls: List[str], cooldown_s: float = 2.0,
+                 connect_timeout_s: float = 10.0):
+        assert backend_urls, "router needs at least one backend"
+        self.backends = [Backend(url=u) for u in backend_urls]
+        self.cooldown_s = cooldown_s
+        self.connect_timeout_s = connect_timeout_s
+        self._rr = itertools.count()
+        self._lock = threading.Lock()
+
+    def pick(self, exclude: Optional[set] = None) -> Optional[Backend]:
+        """Least-in-flight healthy backend; round-robin among ties."""
+        exclude = exclude or set()
+        with self._lock:
+            up = [b for b in self.backends
+                  if b.healthy() and id(b) not in exclude]
+            if not up:
+                return None
+            lo = min(b.in_flight for b in up)
+            tied = [b for b in up if b.in_flight == lo]
+            return tied[next(self._rr) % len(tied)]
+
+    def mark_down(self, b: Backend):
+        b.down_until = time.monotonic() + self.cooldown_s
+        b.errors_total += 1
+
+    # ---------------------------------------------------------------- proxy
+    def forward(self, method: str, path: str, body: Optional[bytes],
+                headers: dict, read_timeout_s: float = 600.0):
+        """Try backends (each at most once) until one accepts the request.
+
+        Returns (backend, HTTPResponse, connection) — caller must call
+        ``release``. Raises ConnectionError when every backend is down/full.
+        """
+        tried: set = set()
+        while True:
+            b = self.pick(exclude=tried)
+            if b is None:
+                raise ConnectionError("no healthy backend available")
+            tried.add(id(b))
+            host, port = b.hostport
+            with b.lock:
+                b.in_flight += 1
+            conn = http.client.HTTPConnection(
+                host, port, timeout=read_timeout_s)
+            try:
+                conn.putrequest(method, path, skip_host=True,
+                                skip_accept_encoding=True)
+                conn.putheader("Host", f"{host}:{port}")
+                for k, v in headers.items():
+                    if k.lower() not in HOP_HEADERS:
+                        conn.putheader(k, v)
+                if body is not None:
+                    conn.putheader("Content-Length", str(len(body)))
+                conn.endheaders()
+                if body:
+                    conn.send(body)
+                resp = conn.getresponse()
+            except OSError:
+                self.release(b, conn, error=True)
+                continue
+            if resp.status == 503:  # engine backpressure: spill to the next
+                resp.read()
+                self.release(b, conn, error=True)
+                continue
+            b.requests_total += 1
+            return b, resp, conn
+
+    def release(self, b: Backend, conn, error: bool = False):
+        with b.lock:
+            b.in_flight = max(0, b.in_flight - 1)
+        if error:
+            self.mark_down(b)
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+    # ---------------------------------------------------------------- fleet
+    def _get_json(self, b: Backend, path: str, timeout_s: float = 5.0):
+        host, port = b.hostport
+        conn = http.client.HTTPConnection(host, port, timeout=timeout_s)
+        try:
+            conn.request("GET", path)
+            r = conn.getresponse()
+            return r.status, json.loads(r.read().decode() or "{}")
+        finally:
+            conn.close()
+
+    def health(self) -> dict:
+        per = []
+        up = 0
+        for b in self.backends:
+            try:
+                status, _ = self._get_json(b, "/health")
+                ok = status == 200
+            except OSError:
+                ok = False
+            up += ok
+            per.append({"url": b.url, "healthy": ok})
+        return {
+            "status": "healthy" if up == len(per) else
+            ("degraded" if up else "unhealthy"),
+            "backends": per,
+        }
+
+    def metrics(self) -> dict:
+        per = []
+        totals = {"requests_total": 0, "tokens_total": 0,
+                  "audio_seconds_total": 0.0, "queue_depth": 0,
+                  "active_slots": 0}
+        for b in self.backends:
+            row = {"url": b.url, "router_requests": b.requests_total,
+                   "router_errors": b.errors_total,
+                   "in_flight": b.in_flight}
+            try:
+                _, m = self._get_json(b, "/metrics")
+                row.update(m)
+                for k in totals:
+                    totals[k] += m.get(k, 0)
+            except OSError:
+                row["unreachable"] = True
+            per.append(row)
+        out = dict(totals)
+        out["backends"] = per
+        return out
+
+
+class RouterHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    router: Router = None  # bound by make_router
+
+    def log_message(self, fmt, *args):
+        pass
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload, ensure_ascii=False).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            h = self.router.health()
+            self._send(200 if h["status"] == "healthy" else 503, h)
+        elif self.path == "/metrics":
+            self._send(200, self.router.metrics())
+        else:
+            self._send(404, {"success": False, "error": "not found"})
+
+    def do_OPTIONS(self):
+        self._send(200, {})
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length) if length > 0 else b""
+        try:
+            b, resp, conn = self.router.forward(
+                "POST", self.path, body, dict(self.headers))
+        except ConnectionError as e:
+            self._send(503, {"success": False, "error": str(e)})
+            return
+        try:
+            self.send_response(resp.status)
+            is_chunked = (resp.getheader("Transfer-Encoding", "")
+                          .lower() == "chunked")
+            for k, v in resp.getheaders():
+                if k.lower() not in HOP_HEADERS:
+                    self.send_header(k, v)
+            if is_chunked:
+                # streaming (NDJSON partials): relay incrementally
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                while True:
+                    chunk = resp.read(16384)
+                    if not chunk:
+                        break
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode()
+                                     + chunk + b"\r\n")
+                    self.wfile.flush()
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                payload = resp.read()
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away mid-relay
+        finally:
+            self.router.release(b, conn)
+
+
+def make_router(backend_urls: List[str], host: str = "0.0.0.0",
+                port: int = 8000, cooldown_s: float = 2.0) -> ThreadingHTTPServer:
+    router = Router(backend_urls, cooldown_s=cooldown_s)
+    handler = type("BoundRouter", (RouterHandler,), {"router": router})
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.router = router  # exposed for tests/metrics
+    return srv
