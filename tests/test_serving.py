@@ -411,3 +411,86 @@ def test_engine_self_kv_quant_matches_offline(nano_params, rng):
                         self_kv_quant=True)
     ref_ids = np.asarray(ref.tokens)[0, 4: np.asarray(ref.lengths)[0]].tolist()
     assert got == ref_ids
+
+
+# ---------------------------------------------------------------- hardening
+def test_engine_fifo_fair_admission(nano_params, rng):
+    """With one slot, queued requests must complete in submit order — the
+    admission path may not rotate a waiting request behind later arrivals."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=1, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False).start()
+    try:
+        order = []
+        lock = threading.Lock()
+        futs = []
+        for i in range(4):
+            req = Request(audio=_audio(rng, 0.3), language="zh")
+            req.future.add_done_callback(
+                lambda f, i=i: (lock.acquire(), order.append(i), lock.release()))
+            futs.append(eng.submit(req))
+        for f in futs:
+            f.result(timeout=120)
+        assert order == [0, 1, 2, 3], f"admission not FIFO: {order}"
+    finally:
+        eng.stop()
+
+
+def test_engine_deadline_expires_in_queue(nano_params, rng):
+    """A request whose deadline passes while queued fails with TimeoutError
+    and never occupies a slot."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=1, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=12, apply_filters=False).start()
+    try:
+        # fill the only slot with a long decode
+        long_req = Request(audio=_audio(rng, 1.0), language="zh")
+        eng.submit(long_req)
+        doomed = Request(audio=_audio(rng, 0.3), language="zh",
+                         deadline_s=1e-4)  # already expired on admission
+        f = eng.submit(doomed)
+        with pytest.raises(TimeoutError):
+            f.result(timeout=120)
+        assert long_req.future.result(timeout=120)["success"]
+    finally:
+        eng.stop()
+
+
+def test_engine_deadline_frees_slot_mid_decode(nano_params, rng):
+    """An in-flight request past its deadline is failed and its slot returns
+    to the pool (capacity is not leaked to dead clients)."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=1, compute_dtype=jnp.float32,
+        steps_per_sync=1, max_tokens=None, apply_filters=False).start()
+    try:
+        # nano ctx=24 decodes fast; use deadline 0 so the first expiry check
+        # after admission trips it
+        doomed = Request(audio=_audio(rng, 1.0), language="zh", deadline_s=0.0)
+        f = eng.submit(doomed)
+        with pytest.raises(TimeoutError):
+            f.result(timeout=120)
+        # slot must be reusable afterwards
+        ok = eng.transcribe(_audio(rng, 0.3), language="zh", timeout=120)
+        assert ok["success"]
+    finally:
+        eng.stop()
+
+
+def test_engine_cancellation(nano_params, rng):
+    """Cancelling a queued request drops it without wedging the engine."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=1, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=12, apply_filters=False).start()
+    try:
+        first = Request(audio=_audio(rng, 1.0), language="zh")
+        eng.submit(first)
+        victim = Request(audio=_audio(rng, 0.3), language="zh")
+        fv = eng.submit(victim)
+        assert victim.cancel() or fv.done()
+        after = Request(audio=_audio(rng, 0.3), language="zh")
+        fa = eng.submit(after)
+        assert first.future.result(timeout=120)["success"]
+        assert fa.result(timeout=120)["success"]
+        assert fv.cancelled() or fv.done()
+    finally:
+        eng.stop()

@@ -53,6 +53,20 @@ class Request:
     enqueued_at: float = field(default_factory=time.perf_counter)
     # streaming: called with the partial transcript after each sync round
     on_partial: Optional[object] = None  # Callable[[str], None]
+    # engine-enforced deadline (seconds from enqueue; None = no limit).
+    # Expired requests fail with TimeoutError and their slot is freed —
+    # HTTP-level timeouts alone leave the slot decoding for a dead client.
+    deadline_s: Optional[float] = None
+
+    def expired(self, now: Optional[float] = None) -> bool:
+        if self.deadline_s is None:
+            return False
+        return (now or time.perf_counter()) - self.enqueued_at > self.deadline_s
+
+    def cancel(self) -> bool:
+        """Cooperative cancellation: the engine drops the request at the next
+        admission/sync boundary (future resolves CancelledError)."""
+        return self.future.cancel()
 
 
 @dataclass
@@ -197,6 +211,12 @@ class ContinuousBatchingEngine:
         self._slot_prompt_len: List[int] = [0] * B
 
         self._queue: "queue.Queue[Request]" = queue.Queue(maxsize=max_queue)
+        # FIFO admission order: requests drain queue -> _pending and are
+        # admitted strictly from the left (no get/put rotation, which would
+        # move a waiting request behind later arrivals)
+        from collections import deque
+
+        self._pending: "deque[Request]" = deque()
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -223,7 +243,7 @@ class ContinuousBatchingEngine:
         except queue.Full:
             raise OverloadedError(
                 f"queue full ({self._queue.maxsize} pending requests)")
-        self.stats.queue_depth = self._queue.qsize()
+        self.stats.queue_depth = self._queue.qsize() + len(self._pending)
         return req.future
 
     def transcribe(self, audio: np.ndarray, language: str = "zh",
@@ -404,25 +424,62 @@ class ContinuousBatchingEngine:
     def _free_slots(self) -> List[int]:
         return [i for i in range(self.B) if self._slot_req[i] is None]
 
-    def _admit_new(self):
-        free = self._free_slots()
-        newcomers: List[Request] = []
-        while free[len(newcomers):] and not self._queue.empty():
+    def _drain_queue(self):
+        while True:
             try:
-                newcomers.append(self._queue.get_nowait())
+                self._pending.append(self._queue.get_nowait())
             except queue.Empty:
                 break
-            if len(newcomers) == len(free):
-                break
+        self.stats.queue_depth = len(self._pending)
+
+    def _admit_new(self):
+        self._drain_queue()
+        free = self._free_slots()
+        newcomers: List[Request] = []
+        now = time.perf_counter()
+        while self._pending and len(newcomers) < len(free):
+            r = self._pending.popleft()  # strict FIFO: submit order = admit order
+            if r.future.cancelled():
+                continue
+            if r.expired(now):
+                if not r.future.done():
+                    r.future.set_exception(
+                        TimeoutError(f"deadline {r.deadline_s}s expired in queue"))
+                continue
+            newcomers.append(r)
+        self.stats.queue_depth = len(self._pending)
         if not newcomers:
             return
-        self.stats.queue_depth = self._queue.qsize()
         try:
             self._admit_batch(newcomers)
         except Exception as e:  # noqa: BLE001 — fail these requests, keep serving
             for r in newcomers:
                 if not r.future.done():
                     r.future.set_exception(e)
+
+    def _expire_slots(self):
+        """Fail in-flight requests past their deadline (or cancelled) and free
+        their slots so the capacity returns to the pool."""
+        now = time.perf_counter()
+        drop = [i for i in range(self.B)
+                if self._slot_req[i] is not None
+                and (self._slot_req[i].expired(now)
+                     or self._slot_req[i].future.cancelled())]
+        if not drop:
+            return
+        for i in drop:
+            req = self._slot_req[i]
+            if not req.future.done():
+                req.future.set_exception(
+                    TimeoutError(f"deadline {req.deadline_s}s expired mid-decode"))
+            self._slot_req[i] = None
+            self._slot_prompt_len[i] = 0
+        mask = np.zeros((self.B,), bool)
+        mask[drop] = True
+        m = jnp.asarray(mask)
+        self.active = jnp.where(m, False, self.active)
+        self.done = jnp.where(m, False, self.done)
+        self.stats.active_slots = sum(r is not None for r in self._slot_req)
 
     def _admit_batch(self, newcomers: List[Request]):
         n = len(newcomers)
@@ -554,11 +611,9 @@ class ContinuousBatchingEngine:
                 req.future.set_exception(exc)
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
+        self._drain_queue()
+        while self._pending:
+            req = self._pending.popleft()
             if not req.future.done():
                 req.future.set_exception(exc)
         self.active = jnp.zeros_like(self.active)
@@ -570,13 +625,14 @@ class ContinuousBatchingEngine:
         while not self._stop.is_set():
             try:
                 has_active = any(r is not None for r in self._slot_req)
-                if not has_active and self._queue.empty():
+                if not has_active and not self._pending and self._queue.empty():
                     try:
-                        req = self._queue.get(timeout=0.05)
-                        self._queue.put(req)
+                        # idle: block briefly, preserve FIFO via _pending
+                        self._pending.append(self._queue.get(timeout=0.05))
                     except queue.Empty:
                         continue
                 t0 = time.perf_counter()
+                self._expire_slots()
                 self._admit_new()
                 if any(r is not None for r in self._slot_req):
                     (self.tokens, self.offsets, self.done, self.rs, kv_k, kv_v) = \
