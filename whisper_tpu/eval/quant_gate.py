@@ -1,0 +1,202 @@
+"""Quantization accuracy gate: proxy metrics for the WER-delta check.
+
+The reference's toolchain gates quantization with Pulsar2's
+``precision_analysis: EndToEnd`` (model_convert/config_whisper_encoder_u16.json:26-27)
+— an offline pass comparing the quantized graph's outputs against fp32 before
+any model ships. This module is that gate for the TPU stack's quantization
+modes (int8 weights, int8 cross-KV, int8 self-KV), runnable WITHOUT labeled
+audio: it teacher-forces the fp32 greedy path's tokens through each quantized
+variant and reports
+
+- mean per-step KL divergence of the next-token distributions vs fp32,
+- top-1 agreement (fraction of steps where the argmax token matches),
+- max absolute logit error.
+
+With real weights + datasets the WER harness (whisper_tpu.eval) is the final
+word; this gate catches quantization regressions in CI and pre-deploy where
+no dataset is reachable.
+
+    python -m whisper_tpu.eval.quant_gate --model tiny --batch 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+
+@dataclass
+class GateResult:
+    variant: str
+    kl_mean: float          # nats/step, fp32 || quantized
+    top1_agreement: float   # [0, 1]
+    logit_max_abs_err: float
+    steps: int
+
+    def row(self) -> dict:
+        return {
+            "variant": self.variant,
+            "kl_mean_nats": round(self.kl_mean, 6),
+            "top1_agreement": round(self.top1_agreement, 4),
+            "logit_max_abs_err": round(self.logit_max_abs_err, 4),
+            "steps": self.steps,
+        }
+
+
+# "fp32" is a control row: no quantization, must measure ~zero divergence
+# (proves the harness itself adds no error)
+VARIANTS = ("fp32", "int8_weights", "int8_cross_kv", "int8_self_kv", "int8_all")
+
+
+def _teacher_forced_logits(params, cross_kv, tokens, lengths, cfg, dt,
+                           self_kv_quant: bool):
+    """Per-step next-token logits for the given token rows (prefill-style
+    chunked decode: one decoder_forward over the whole row)."""
+    import jax.numpy as jnp
+
+    from ..models.model import KVCache, QKVCache, decoder_forward
+
+    B, T = tokens.shape
+    if self_kv_quant:
+        kv = QKVCache.create(cfg, B)
+    else:
+        kv = KVCache.create(cfg, B, dtype=dt)
+    logits, _ = decoder_forward(params, tokens, 0, kv, cross_kv, cfg, dt)
+    return logits  # (B, T, V) fp32
+
+
+def run_gate(
+    params,
+    cfg,
+    mel,
+    variant: str,
+    prompt: Optional[np.ndarray] = None,
+    max_tokens: int = 32,
+    compute_dtype=None,
+) -> GateResult:
+    """Compare one quantized variant against the fp32 reference on `mel`."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode import encode_cross_kv, greedy_decode
+    from ..ops.quant import quantize_params
+
+    assert variant in VARIANTS, f"unknown variant {variant!r}"
+    dt = compute_dtype or jnp.float32
+    B = mel.shape[0]
+    if prompt is None:
+        prompt = np.tile(
+            np.asarray(cfg.sot_sequence("zh", "transcribe"), np.int32), (B, 1))
+    prompt = jnp.asarray(prompt)
+
+    # fp32 reference decode: its sampled tokens become the teacher-forced path
+    ref = greedy_decode(params, mel, prompt, cfg, compute_dtype=dt,
+                        max_tokens=max_tokens)
+    tokens = ref.tokens
+    lengths = np.asarray(ref.lengths)
+
+    q_params = params
+    kv_quant = variant in ("int8_cross_kv", "int8_all")
+    self_kv_quant = variant in ("int8_self_kv", "int8_all")
+    if variant in ("int8_weights", "int8_all"):
+        q_params = quantize_params(params)
+
+    ref_ckv = encode_cross_kv(params, mel, cfg, dt)
+    q_ckv = encode_cross_kv(q_params, mel, cfg, dt, kv_quant=kv_quant)
+
+    ref_logits = _teacher_forced_logits(params, ref_ckv, tokens, lengths, cfg,
+                                        dt, self_kv_quant=False)
+    q_logits = _teacher_forced_logits(q_params, q_ckv, tokens, lengths, cfg,
+                                      dt, self_kv_quant=self_kv_quant)
+
+    P = prompt.shape[1]
+    ref_np = np.asarray(ref_logits, np.float32)
+    q_np = np.asarray(q_logits, np.float32)
+
+    def log_softmax(x):
+        x = x - x.max(axis=-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+    kls, agree, max_err, steps = [], [], 0.0, 0
+    for b in range(ref_np.shape[0]):
+        # positions whose OUTPUT predicts a real sampled token:
+        # P-1 .. lengths[b]-1 (inclusive of the step that sampled eot)
+        lo, hi = P - 1, int(lengths[b])
+        if hi <= lo:
+            continue
+        r = log_softmax(ref_np[b, lo:hi])
+        q = log_softmax(q_np[b, lo:hi])
+        kls.append(np.sum(np.exp(r) * (r - q), axis=-1))
+        agree.append(np.argmax(r, axis=-1) == np.argmax(q, axis=-1))
+        max_err = max(max_err, float(np.abs(ref_np[b, lo:hi] - q_np[b, lo:hi]).max()))
+        steps += hi - lo
+    kl = float(np.mean(np.concatenate(kls))) if kls else 0.0
+    top1 = float(np.mean(np.concatenate(agree))) if agree else 1.0
+    return GateResult(variant=variant, kl_mean=kl, top1_agreement=top1,
+                      logit_max_abs_err=max_err, steps=steps)
+
+
+def gate(results: Dict[str, GateResult],
+         kl_threshold: float = 0.02,
+         top1_threshold: float = 0.98) -> bool:
+    """Pass iff every variant stays within the thresholds (defaults sized so
+    an int8 config that passes here has negligible WER headroom cost)."""
+    ok = True
+    for r in results.values():
+        if r.kl_mean > kl_threshold or r.top1_agreement < top1_threshold:
+            ok = False
+    return ok
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("whisper_tpu.eval.quant_gate")
+    p.add_argument("--model", "-t", default="tiny")
+    p.add_argument("--checkpoint", "-p", default=None)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--max_tokens", type=int, default=32)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--variants", default=",".join(VARIANTS))
+    p.add_argument("--kl_threshold", type=float, default=0.02)
+    p.add_argument("--top1_threshold", type=float, default=0.98)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import get_config
+    from ..models.model import init_params
+    from ..utils import compilation_cache
+
+    compilation_cache.enable()
+    if args.checkpoint:
+        from ..models.checkpoint import load_checkpoint
+
+        params, cfg = load_checkpoint(args.checkpoint, size=args.model)
+    else:
+        cfg = get_config(args.model)
+        params = init_params(cfg, jax.random.PRNGKey(args.seed))
+
+    rng = np.random.default_rng(args.seed)
+    mel = jnp.asarray(
+        (rng.standard_normal((args.batch, cfg.n_mels, 2 * cfg.n_audio_ctx)) * 0.3
+         ).astype(np.float32))
+
+    results = {}
+    for v in args.variants.split(","):
+        r = run_gate(params, cfg, mel, v, max_tokens=args.max_tokens,
+                     compute_dtype=jnp.dtype(args.dtype))
+        results[v] = r
+        print(json.dumps(r.row()), file=sys.stderr)
+    ok = gate(results, args.kl_threshold, args.top1_threshold)
+    print(json.dumps({"pass": ok, **{v: r.row() for v, r in results.items()}}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
