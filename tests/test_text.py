@@ -35,3 +35,50 @@ def test_parse_segments():
     segs = parse_segments("<|1.00|>trailing")
     assert segs == [(1.0, None, "trailing")]
     assert parse_segments("no timestamps at all") == []
+
+
+def test_t2s_phrase_level_disambiguation():
+    """Phrase-level t2s (the role of OpenCC's TSPhrases in the reference):
+    ambiguous chars take the word-correct form, not the char default."""
+    from whisper_tpu.text import t2s
+
+    # defaults for ambiguous chars
+    assert t2s("乾燥") == "干燥"
+    assert t2s("看著他") == "看着他"
+    assert t2s("瞭解情況") == "了解情况"
+    assert t2s("藉口") == "借口"
+    assert t2s("頭髮") == "头发"
+    assert t2s("鍾情") == "钟情"
+    assert t2s("餅乾") == "饼干"
+    # phrase exceptions override the defaults
+    assert t2s("乾隆皇帝") == "乾隆皇帝"
+    assert t2s("著名作家") == "著名作家"
+    assert t2s("顯著") == "显著"
+    assert t2s("瞭望塔") == "瞭望塔"
+    assert t2s("聲名狼藉") == "声名狼藉"
+    assert t2s("答覆") == "答复"
+    assert t2s("覆蓋") == "覆盖"
+    assert t2s("神祇") == "神祇"
+    # mixed sentence exercising both paths
+    assert t2s("乾隆喜歡乾燥的天氣") == "乾隆喜欢干燥的天气"
+
+
+def test_t2s_char_level_still_available():
+    from whisper_tpu.text import t2s_char
+
+    assert t2s_char("漢語") == "汉语"
+
+
+def test_t2s_high_frequency_chars():
+    from whisper_tpu.text import t2s
+
+    assert t2s("寫字") == "写字"
+    assert t2s("喜歡") == "喜欢"
+    assert t2s("經驗") == "经验"
+    assert t2s("軍隊") == "军队"
+    assert t2s("政黨") == "政党"
+    assert t2s("創造") == "创造"
+    assert t2s("強大") == "强大"
+    assert t2s("兒子") == "儿子"
+    assert t2s("老闆") == "老板"
+    assert t2s("諮詢") == "咨询"

@@ -23,22 +23,95 @@ _T2S_PAIRS = (
 _T2S_EXTRA = (
     "幾几況况隻只颱台鬆松裡里裏里係系嚮向捨舍鞦秋韆千瀋沈啓启衹只纔才"
     "麵面鬚须籲吁徵征儘尽啥啥嘛嘛喫吃傢家倆俩儿儿"
+    # high-frequency chars absent from the base pair table (audited against
+    # the public OpenCC TSCharacters mapping)
+    "寫写歡欢驗验牆墙彙汇錶表閒闲劑剂別别竈灶竄窜衝冲墮堕騙骗鬍胡兒儿"
+    "兌兑內内冊册憑凭凍冻減减湊凑凜凛鳳凤鳧凫凱凯擊击鑿凿劉刘則则剎刹"
+    "創创劃划廁厕壚垆壘垒尷尴盡尽嶄崭嶽岳廈厦彈弹強强復复欄栏瀉泻爲为"
+    "甕瓮祕秘綫线罵骂臺台蘭兰衆众製制誌志軍军迴回鑑鉴闆板馮冯駛驶髒脏"
+    "黨党雖虽諮咨"
 )
 
 T2S: Dict[str, str] = {}
-for _i in range(0, len(_T2S_EXTRA) - 1, 2):
-    _t, _s = _T2S_EXTRA[_i], _T2S_EXTRA[_i + 1]
-    if _t != _s:
-        T2S[_t] = _s
 for _i in range(0, len(_T2S_PAIRS) - 1, 2):
     _t, _s = _T2S_PAIRS[_i], _T2S_PAIRS[_i + 1]
     if _t != _s:
         T2S[_t] = _s
+# curated overrides/additions win over the base pair table
+for _i in range(0, len(_T2S_EXTRA) - 1, 2):
+    _t, _s = _T2S_EXTRA[_i], _T2S_EXTRA[_i + 1]
+    if _t != _s:
+        T2S[_t] = _s
+
+# Ambiguous traditional chars: their correct simplified form depends on the
+# word — the char table above deliberately omits them; they get a most-common
+# default here plus phrase-level exceptions below (the role OpenCC's
+# TSPhrases dictionary plays in the reference, cpp/src/Whisper.cpp:224-235).
+_T2S_AMBIG = {
+    "乾": "干",  # dry (乾燥→干燥) — but the Qianlong/qián senses keep 乾
+    "著": "着",  # aspect particle (看著→看着) — but zhù senses keep 著
+    "瞭": "了",  # 瞭解→了解 — but 瞭望 keeps 瞭
+    "藉": "借",  # 藉口→借口 — but 狼藉/慰藉 keep 藉
+    "髮": "发",  # hair (頭髮→头发); 發→发 is already in the char table
+    "鍾": "钟",  # 鍾情→钟情 (the surname locally keeps 锺 — rare in ASR)
+    "祇": "只",  # 祇有→只有 — but 神祇 keeps 祇
+}
+T2S.update(_T2S_AMBIG)
+
+# Phrase exceptions (traditional spelling -> correct simplified), applied by
+# greedy longest-match BEFORE the char map. Identity values protect words
+# whose ambiguous char must NOT take the default above.
+T2S_PHRASES: Dict[str, str] = {
+    # 乾 qián senses stay 乾
+    "乾隆": "乾隆", "乾坤": "乾坤", "乾卦": "乾卦", "乾嘉": "乾嘉",
+    "乾陵": "乾陵", "乾縣": "乾县",
+    # 著 zhù senses stay 著
+    "著名": "著名", "著作": "著作", "著述": "著述", "著錄": "著录",
+    "著稱": "著称", "著者": "著者", "著書": "著书", "著有": "著有",
+    "顯著": "显著", "昭著": "昭著", "卓著": "卓著", "土著": "土著",
+    "編著": "编著", "名著": "名著", "原著": "原著", "專著": "专著",
+    "論著": "论著", "巨著": "巨著", "譯著": "译著", "執著": "执著",
+    # 瞭 liào senses stay 瞭
+    "瞭望": "瞭望", "瞭哨": "瞭哨",
+    # 藉 jí / formal jiè senses stay 藉
+    "狼藉": "狼藉", "蘊藉": "蕴藉", "慰藉": "慰藉", "枕藉": "枕藉",
+    # 覆 "reply" sense simplifies to 复 (char default keeps 覆 for cover)
+    "答覆": "答复", "回覆": "回复", "批覆": "批复", "覆信": "复信",
+    "覆命": "复命", "反覆": "反复",
+    # 祇 deity sense stays 祇
+    "神祇": "神祇",
+    # 鍾 surname convention
+    "鍾氏": "锺氏",
+    # 噸/裡-style words whose chars differ by context
+    "皇後": "皇后",  # defensive: 後→后 is contextless, 皇后 already correct
+}
+_MAX_PHRASE = max(len(k) for k in T2S_PHRASES)
+
+
+def t2s_char(text: str) -> str:
+    """Traditional -> Simplified Chinese, char-level only."""
+    return "".join(T2S.get(ch, ch) for ch in text)
 
 
 def t2s(text: str) -> str:
-    """Traditional -> Simplified Chinese, char-level."""
-    return "".join(T2S.get(ch, ch) for ch in text)
+    """Traditional -> Simplified Chinese: greedy longest-match over the
+    phrase table, char map otherwise (OpenCC-style maximum forward match)."""
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        hit = None
+        for ln in range(min(_MAX_PHRASE, n - i), 1, -1):
+            cand = text[i : i + ln]
+            if cand in T2S_PHRASES:
+                hit = T2S_PHRASES[cand]
+                i += ln
+                break
+        if hit is None:
+            hit = T2S.get(text[i], text[i])
+            i += 1
+        out.append(hit)
+    return "".join(out)
 
 
 _PUNCT_RE = re.compile(
