@@ -22,6 +22,62 @@ import time
 
 import numpy as np
 
+# bf16 peak TFLOP/s per chip generation (public specs); override with
+# BENCH_PEAK_TFLOPS for new hardware
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,       # v5p
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def peak_flops_per_s() -> float:
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind
+    except Exception:  # noqa: BLE001
+        return 197.0e12
+    for k, v in _PEAK_TFLOPS.items():
+        if kind.startswith(k):
+            return v * 1e12
+    return 197.0e12
+
+
+def estimate_flops(cfg, batch: int, prompt_len: int, n_new: int) -> float:
+    """Matmul FLOPs of the benched program: mel + encoder + cross-KV +
+    prefill + n_new single-token decode steps (2*M*N*K per matmul; attention
+    counted at full context — the decode loop attends over the whole
+    fixed-shape cache every step, which is what the chip executes)."""
+    B = batch
+    D, Da = cfg.n_text_state, cfg.n_audio_state
+    La, Lt = cfg.n_audio_layer, cfg.n_text_layer
+    Ta, T, V = cfg.n_audio_ctx, cfg.n_text_ctx, cfg.n_vocab
+    frames = 2 * Ta  # 3000 mel frames -> conv2 stride 2 -> Ta
+
+    enc = 2 * B * frames * (3 * cfg.n_mels) * Da          # conv1
+    enc += 2 * B * Ta * (3 * Da) * Da                     # conv2 (stride 2)
+    enc += La * (24 * B * Ta * Da * Da + 4 * B * Ta * Ta * Da)  # blocks
+    cross_kv = 4 * B * Ta * Da * D * Lt                   # per-layer K/V proj
+
+    def dec_positions(S, ctx):
+        # qkv+o (self) + q,o (cross) + mlp + attention reads
+        proj = (8 + 4 + 16) * B * S * D * D
+        attn = 4 * B * S * ctx * D + 4 * B * S * Ta * D
+        return (proj + attn) * Lt + 2 * B * S * D * V     # + logits
+
+    prefill = dec_positions(prompt_len, T)
+    decode = n_new * dec_positions(1, T)
+    mel = 2 * B * frames * cfg.n_fft * (cfg.n_fft + 2)    # DFT-as-matmul
+    return float(enc + cross_kv + prefill + decode + mel)
+
 
 def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
 
@@ -59,6 +115,7 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
     )
 
     kv_quant = os.environ.get("BENCH_KV_QUANT", "0") == "1"
+    self_kv_quant = os.environ.get("BENCH_SELF_KV_QUANT", "0") == "1"
 
     def run():
         mel = log_mel_batch(audio, lengths, n_mels=cfg.n_mels)
@@ -67,6 +124,7 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
             compute_dtype=jnp.bfloat16,
             max_tokens=n_tokens,
             kv_quant=kv_quant,
+            self_kv_quant=self_kv_quant,
         )
         # materialize on host: block_until_ready is unreliable on the axon
         # tunnel platform, a device->host copy is not
@@ -91,26 +149,51 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
     # reference C++ RTF per size on AX650N (BASELINE.md / README.md:217-220)
     baseline_rtf = {"tiny": 0.08, "base": 0.11, "small": 0.24,
                     "turbo": 0.48}.get(model, 0.08)
+    # model FLOP utilization: matmul FLOPs of the program / wall / chip peak.
+    # Decode length for the FLOP estimate = actual generated tokens (greedy
+    # may stop early on eot even with random weights)
+    gen = int(np.max(lens)) - prompt.shape[1]  # lens = absolute first-eot index
+    flops = estimate_flops(cfg, batch, prompt.shape[1], max(gen, 1))
+    mfu = flops / wall / peak_flops_per_s()
+    suffix = ("_kvq" if kv_quant else "") + ("_skvq" if self_kv_quant else "")
     out = {
-        "metric": f"rtf_{model}_b{batch}_t{n_tokens}" + ("_kvq" if kv_quant else ""),
+        "metric": f"rtf_{model}_b{batch}_t{n_tokens}" + suffix,
         "value": round(rtf, 6),
         "unit": "wall_s/audio_s (lower=better)",
         "vs_baseline": round(baseline_rtf / rtf, 3),
+        "mfu": round(mfu, 4),
+        "audio_s_per_s": round(audio_seconds / wall, 1),
+        "compile_s": round(compile_s, 1),
     }
     print(f"[bench] wall={wall:.3f}s audio={audio_seconds:.0f}s "
-          f"throughput={audio_seconds/wall:.1f} audio-s/s", file=sys.stderr)
+          f"throughput={audio_seconds/wall:.1f} audio-s/s "
+          f"mfu={mfu*100:.1f}%", file=sys.stderr)
     return out
 
 
 def main() -> int:
-    # default = tiny b8: compiles in <1 min through the axon tunnel (turbo
-    # takes 10-20 min there and risks driver timeouts; its measured numbers
-    # are recorded in BENCH_NOTES.md — run BENCH_MODEL=turbo BENCH_BATCH=64
-    # to reproduce)
-    model = os.environ.get("BENCH_MODEL", "tiny")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
+    # Defaults resolve in order: env vars > BENCH_DEFAULTS.json > tiny b8.
+    # BENCH_DEFAULTS.json is written once the flagship (turbo b64) program
+    # has been compiled into this machine's persistent XLA cache — the
+    # driver's run then hits the cache and captures the north-star config
+    # without risking a 10-20 min cold compile through the axon tunnel.
+    defaults = {"model": "tiny", "batch": 8, "tokens": 64}
+    dpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DEFAULTS.json")
+    if os.path.exists(dpath):
+        try:
+            with open(dpath) as f:
+                defaults.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    model = os.environ.get("BENCH_MODEL", defaults["model"])
+    batch = int(os.environ.get("BENCH_BATCH", str(defaults["batch"])))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", str(defaults["tokens"])))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    for k in ("kv_quant", "self_kv_quant"):
+        env = "BENCH_" + k.upper()
+        if env not in os.environ and defaults.get(k):
+            os.environ[env] = "1"
     try:
         out = run_bench(model, batch, n_tokens, repeats)
     except Exception as e:  # noqa: BLE001
