@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 
-def build(variant: str, params, cfg, dt):
+def build(variant: str, cfg, dt):
     import jax
     import jax.numpy as jnp
 
@@ -41,12 +41,11 @@ def build(variant: str, params, cfg, dt):
     )
     from whisper_tpu.ops.flash_attention import flash_attention, use_flash
 
-    enc = params["encoder"]
     n_head = cfg.n_audio_head
     flash = os.environ.get("WHISPER_TPU_FLASH", "auto")
     use_pallas = use_flash() if flash == "auto" else flash == "1"
 
-    def stem(mel):
+    def stem(enc, mel):
         x = mel.astype(dt).transpose(0, 2, 1)
 
         def conv1d(x, w, b, stride):
@@ -62,7 +61,7 @@ def build(variant: str, params, cfg, dt):
                         approximate=False)
         return x + enc["pos_emb"][: x.shape[1]].astype(dt)
 
-    def block(x, p, do_attn=True, do_mlp=True):
+    def block(x, p, do_attn=True, do_mlp=True):  # p = per-layer params
         if do_attn:
             h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
             q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
@@ -78,25 +77,28 @@ def build(variant: str, params, cfg, dt):
             x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return x
 
-    def blocks_fn(x, do_attn=True, do_mlp=True, unroll=1):
+    def blocks_fn(enc, x, do_attn=True, do_mlp=True, unroll=1):
         def body(x, p):
             return block(x, p, do_attn, do_mlp), None
 
         x, _ = jax.lax.scan(body, x, enc["blocks"], unroll=unroll)
         return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"]).astype(jnp.float32)
 
+    # every fn takes (params, x): params must be a jit ARGUMENT — closing
+    # over them bakes the weights into the HLO as constants, which the
+    # remote compile service rejects (HTTP 413) at turbo size
     if variant in ("full", "full_xla"):
-        return "mel", lambda mel: encoder_forward(params, mel, cfg, dt)
+        return "mel", lambda params, mel: encoder_forward(params, mel, cfg, dt)
     if variant == "stem":
-        return "mel", lambda mel: stem(mel).astype(jnp.float32)
+        return "mel", lambda params, mel: stem(params["encoder"], mel).astype(jnp.float32)
     if variant == "blocks":
-        return "x", blocks_fn
+        return "x", lambda params, x: blocks_fn(params["encoder"], x)
     if variant == "attn":
-        return "x", lambda x: blocks_fn(x, do_mlp=False)
+        return "x", lambda params, x: blocks_fn(params["encoder"], x, do_mlp=False)
     if variant == "mlp":
-        return "x", lambda x: blocks_fn(x, do_attn=False)
+        return "x", lambda params, x: blocks_fn(params["encoder"], x, do_attn=False)
     if variant == "unroll4":
-        return "x", lambda x: blocks_fn(x, unroll=4)
+        return "x", lambda params, x: blocks_fn(params["encoder"], x, unroll=4)
     raise SystemExit(f"unknown variant {variant}")
 
 
@@ -125,11 +127,11 @@ def main() -> int:
     dt = jnp.dtype(args.dtype)
     params = jax.device_put(cast_floating(init_params(cfg, jax.random.PRNGKey(0)), dt))
 
-    kind, fn = build(args.variant, params, cfg, dt)
+    kind, fn = build(args.variant, cfg, dt)
     rng = np.random.default_rng(0)
     if kind == "mel":
         x0 = jnp.asarray(rng.standard_normal(
-            (args.batch, cfg.n_mels, 3000)).astype(np.float32) * 0.1)
+            (args.batch, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32) * 0.1)
     else:
         x0 = jnp.asarray(rng.standard_normal(
             (args.batch, cfg.n_audio_ctx, cfg.n_audio_state)).astype(np.float32) * 0.1)
@@ -138,23 +140,23 @@ def main() -> int:
     iters = args.iters
 
     @jax.jit
-    def loop(x, seed):
+    def loop(params, x, seed):
         def body(i, acc):
             # perturb the input by the carry so iterations can't be CSE'd/reordered
-            y = fn(x * (1.0 + 0.0 * acc) if kind == "mel" else x + acc.astype(x.dtype) * 0)
+            y = fn(params, x * (1.0 + 0.0 * acc) if kind == "mel" else x + acc.astype(x.dtype) * 0)
             return acc + y[0, 0, 0].astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, seed)
 
     t0 = time.perf_counter()
-    float(np.asarray(loop(x0, jnp.float32(0.0))))  # compile + warm
+    float(np.asarray(loop(params, x0, jnp.float32(0.0))))  # compile + warm
     print(f"[enc-bench] {args.variant} compile+warm {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
     times = []
     for r in range(args.repeats):
         t0 = time.perf_counter()
-        float(np.asarray(loop(x0, jnp.float32(r + 1))))
+        float(np.asarray(loop(params, x0, jnp.float32(r + 1))))
         times.append((time.perf_counter() - t0) / iters)
     best = min(times)
     out = {"variant": args.variant, "model": args.model, "batch": args.batch,
