@@ -17,7 +17,8 @@ Variants (cross/self KV quant spelled in the name; default bf16):
   no_self       step with self-attention removed        (ablation)
   no_mlp        step with the MLP removed               (ablation)
   no_logits     logits matmul replaced by a cheap sum   (ablation)
-  pallas_cross  fused Pallas cross-attention decode kernel (int8 KV)
+  pallas_cross      fused Pallas cross-attention decode kernel (int8 KV)
+  pallas_cross_vpu  same kernel with VPU reductions instead of M=1 MXU dots
 """
 
 from __future__ import annotations
@@ -60,7 +61,8 @@ def build_step(variant: str, cfg, dt):
     do_self = variant != "no_self"
     do_mlp = variant != "no_mlp"
     do_logits = variant != "no_logits"
-    pallas_cross = variant == "pallas_cross"
+    pallas_cross = variant in ("pallas_cross", "pallas_cross_vpu")
+    pallas_vpu = variant == "pallas_cross_vpu"
 
     def step(params, tokens, offset, kcache, vcache, cross_kv):
         dec = params["decoder"]
@@ -119,7 +121,7 @@ def build_step(variant: str, cfg, dt):
 
                     o = cross_attention_decode(
                         _split_heads(q, n_head), cross[0], cross[1],
-                        cross[2], cross[3])
+                        cross[2], cross[3], use_vpu=pallas_vpu)
                 elif kv_quant:
                     o = attention_int8kv(_split_heads(q, n_head), cross[0],
                                          cross[1], cross[2], cross[3])
@@ -194,7 +196,7 @@ def main() -> int:
     ck = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cv = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cross_quant = args.variant in ("full_xq", "full_xq_sq", "int8w",
-                                   "pallas_cross")
+                                   "pallas_cross", "pallas_cross_vpu")
     if cross_quant:
         cross_kv = tuple(jax.device_put(t) for t in quantize_cross_kv((ck, cv)))
     else:

@@ -134,3 +134,21 @@ def test_fused_mel_batched(rng):
     assert got.shape == (3, 80, n_frames)
     # per-batch rows differ (no cross-batch contamination)
     assert not np.allclose(got[0], got[1])
+
+
+def test_cross_attention_decode_vpu_matches_int8kv(rng):
+    """VPU-reduction variant of the decode kernel matches the XLA int8 path."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.models.model import attention_int8kv, quantize_cross_kv
+    from whisper_tpu.ops.decode_attention import cross_attention_decode
+
+    B, H, T, dh = 2, 4, 96, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    kq, ks, vq, vs = quantize_cross_kv((k, v))
+    args = (q, kq[0], ks[0], vq[0], vs[0])
+    ref = np.asarray(attention_int8kv(*args))
+    got = np.asarray(cross_attention_decode(*args, interpret=True, use_vpu=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -128,7 +128,29 @@ def _kernel(q_ref, ks_ref, vs_ref, kq_ref, vq_ref, o_ref, *,
     o_ref[0] = (o * vs_ref[0]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_vpu(q_ref, ks_ref, vs_ref, kq_ref, vq_ref, o_ref, *,
+                scale: float, n_head: int, dh: int):
+    """VPU variant of ``_kernel``: the M=1 MXU dots waste 127/128 of the
+    systolic array per pass, so scores and the weighted sum are computed as
+    broadcast-multiply + axis reductions on the vector unit instead. The op
+    is HBM-bound (streaming the int8 K/V); the point is to keep compute off
+    the critical path so the DMA pipeline runs at full bandwidth."""
+    qs = q_ref[0].astype(jnp.float32) * ks_ref[0] * scale  # (H, dh)
+    outs = []
+    for g in range(n_head):
+        k = kq_ref[0, g * dh:(g + 1) * dh, :].astype(jnp.float32)  # (dh, T)
+        # scores: reduce over dh (sublane axis) — pure VPU
+        s = jnp.sum(k * qs[g][:, None], axis=0, keepdims=True)     # (1, T)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        w = p / jnp.sum(p, axis=1, keepdims=True)                  # (1, T)
+        v = vq_ref[0, g * dh:(g + 1) * dh, :].astype(jnp.float32)  # (dh, T)
+        outs.append(jnp.sum(v * w, axis=1, keepdims=True).T)       # (1, dh)
+    o = jnp.concatenate(outs, axis=0)                              # (H, dh)
+    o_ref[0] = (o * vs_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "use_vpu"))
 def cross_attention_decode(
     q: jnp.ndarray,    # (B, H, 1, dh) compute dtype
     k_q: jnp.ndarray,  # (B, H, dh, T) int8 (transposed, quantize_cross_kv)
@@ -136,11 +158,13 @@ def cross_attention_decode(
     v_q: jnp.ndarray,  # (B, H, dh, T) int8 (transposed)
     v_s: jnp.ndarray,  # (B, H, 1, dh) fp32
     interpret: bool = False,
+    use_vpu: bool = False,
 ) -> jnp.ndarray:
     """Single-query attention against int8 cross-KV; returns (B, H, 1, dh).
 
     Matches models.model.attention_int8kv numerics (no mask — cross
-    attention is over the full audio context).
+    attention is over the full audio context). ``use_vpu`` switches the
+    in-kernel reductions from M=1 MXU dots to vector-unit ops.
     """
     B, H, _, dh = q.shape
     T = k_q.shape[-1]
@@ -160,7 +184,8 @@ def cross_attention_decode(
     vqf = v_q.reshape(n_cells, G * dh, T)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, n_head=G, dh=dh),
+        functools.partial(_kernel_vpu if use_vpu else _kernel,
+                          scale=scale, n_head=G, dh=dh),
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec((1, G, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
