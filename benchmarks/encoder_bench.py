@@ -12,6 +12,9 @@ Variants:
   stem        conv1 + conv2 + pos-emb only
   blocks      transformer stack only, (B, 1500, D) input
   attn        blocks with the MLP removed
+  attn_proj   attn variant with the attention op itself skipped (o = q):
+              isolates the qkvo projections + LN + residual
+  attn_fused_qkv  attn with q,k,v computed as ONE concatenated matmul
   mlp         blocks with attention removed
   unroll4     blocks with lax.scan(unroll=4)
 """
@@ -61,14 +64,27 @@ def build(variant: str, cfg, dt):
                         approximate=False)
         return x + enc["pos_emb"][: x.shape[1]].astype(dt)
 
-    def block(x, p, do_attn=True, do_mlp=True):  # p = per-layer params
+    def block(x, p, do_attn=True, do_mlp=True, skip_attn_op=False,
+              fused_qkv=False):  # p = per-layer params
         if do_attn:
             h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
-            q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
-            k = _linear(h, p["attn"]["wk"], None, dt)
-            v = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+            if fused_qkv:
+                w = jnp.concatenate([p["attn"]["wq"], p["attn"]["wk"],
+                                     p["attn"]["wv"]], axis=-1)
+                qkv = _linear(h, w, None, dt)
+                D = h.shape[-1]
+                q = qkv[..., :D] + p["attn"]["bq"].astype(dt)
+                k = qkv[..., D:2 * D]
+                v = qkv[..., 2 * D:] + p["attn"]["bv"].astype(dt)
+            else:
+                q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+                k = _linear(h, p["attn"]["wk"], None, dt)
+                v = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
             qh, kh, vh = (_split_heads(t, n_head) for t in (q, k, v))
-            o = flash_attention(qh, kh, vh) if use_pallas else attention(qh, kh, vh)
+            if skip_attn_op:
+                o = qh + kh * 0 + vh * 0  # keep q/k/v live, skip the op
+            else:
+                o = flash_attention(qh, kh, vh) if use_pallas else attention(qh, kh, vh)
             x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
         if do_mlp:
             h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
@@ -77,9 +93,10 @@ def build(variant: str, cfg, dt):
             x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return x
 
-    def blocks_fn(enc, x, do_attn=True, do_mlp=True, unroll=1):
+    def blocks_fn(enc, x, do_attn=True, do_mlp=True, unroll=1,
+                  skip_attn_op=False, fused_qkv=False):
         def body(x, p):
-            return block(x, p, do_attn, do_mlp), None
+            return block(x, p, do_attn, do_mlp, skip_attn_op, fused_qkv), None
 
         x, _ = jax.lax.scan(body, x, enc["blocks"], unroll=unroll)
         return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"]).astype(jnp.float32)
@@ -95,6 +112,12 @@ def build(variant: str, cfg, dt):
         return "x", lambda params, x: blocks_fn(params["encoder"], x)
     if variant == "attn":
         return "x", lambda params, x: blocks_fn(params["encoder"], x, do_mlp=False)
+    if variant == "attn_proj":
+        return "x", lambda params, x: blocks_fn(params["encoder"], x,
+                                                do_mlp=False, skip_attn_op=True)
+    if variant == "attn_fused_qkv":
+        return "x", lambda params, x: blocks_fn(params["encoder"], x,
+                                                do_mlp=False, fused_qkv=True)
     if variant == "mlp":
         return "x", lambda params, x: blocks_fn(params["encoder"], x, do_attn=False)
     if variant == "unroll4":

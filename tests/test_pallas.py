@@ -152,3 +152,22 @@ def test_cross_attention_decode_vpu_matches_int8kv(rng):
     ref = np.asarray(attention_int8kv(*args))
     got = np.asarray(cross_attention_decode(*args, interpret=True, use_vpu=True))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_btd_matches_reference(rng):
+    """Layout-direct kernel (B, T, D) must match jnp attention on split heads,
+    including a ragged last q tile (T not a multiple of q_tile)."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.models.model import _merge_heads, _split_heads, attention
+    from whisper_tpu.ops.flash_attention import flash_attention_btd
+
+    B, T, D, H = 2, 150, 128, 2
+    q = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    ref = np.asarray(_merge_heads(attention(
+        _split_heads(q, H), _split_heads(k, H), _split_heads(v, H))))
+    got = np.asarray(flash_attention_btd(q, k, v, H, interpret=True, q_tile=64))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

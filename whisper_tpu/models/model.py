@@ -177,23 +177,37 @@ def encoder_forward(
 
     import os
 
-    from ..ops.flash_attention import flash_attention, use_flash
+    from ..ops.flash_attention import (
+        flash_attention,
+        flash_attention_btd,
+        use_flash,
+    )
 
+    # "auto" (default on TPU) = the layout-direct BTD kernel: attention
+    # straight off the projection outputs, no split-heads/pad/slice copies
+    # (those relayouts measured ~410 ms per turbo-B64 encoder pass, xprof).
+    # "bhtd" keeps the split-head kernel; "0" = pure-XLA attention.
     flash = os.environ.get("WHISPER_TPU_FLASH", "auto")
-    use_pallas = use_flash() if flash == "auto" else flash == "1"
+    on_tpu = use_flash()
+    use_btd = flash in ("auto", "btd") and on_tpu or flash == "btd"
+    use_pallas = (use_flash() if flash == "auto" else flash in ("1", "bhtd"))
 
     def block(x, p):
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
         q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
         k = _linear(h, p["attn"]["wk"], None, dt)
         v = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
-        qh, kh, vh = (_split_heads(t, n_head) for t in (q, k, v))
-        if use_pallas:
-            # VMEM-resident Pallas kernel: no HBM score materialization
-            o = flash_attention(qh, kh, vh)
+        if use_btd:
+            # VMEM-resident kernel over the native (B, T, D) layout
+            om = flash_attention_btd(q, k, v, n_head)
         else:
-            o = attention(qh, kh, vh)
-        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+            qh, kh, vh = (_split_heads(t, n_head) for t in (q, k, v))
+            if use_pallas:
+                # VMEM-resident Pallas kernel: no HBM score materialization
+                om = _merge_heads(flash_attention(qh, kh, vh))
+            else:
+                om = _merge_heads(attention(qh, kh, vh))
+        x = x + _linear(om, p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
         h = _gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt))

@@ -108,19 +108,24 @@ def _kernel(q_ref, ks_ref, vs_ref, kq_ref, vq_ref, o_ref, *,
     rejects mixed bf16->f32.
     """
     # fold K's per-channel scales into the query (exact: symmetric
-    # per-(head, channel) quantization, same trick as attention_int8kv)
-    qs = q_ref[0].astype(jnp.float32) * ks_ref[0] * scale  # (H, dh)
+    # per-(head, channel) quantization, same trick as attention_int8kv).
+    # Dots run in the query's compute dtype with fp32 accumulation —
+    # casting operands up to fp32 first forces multi-pass MXU emulation
+    # (see flash_attention); bf16 rounding here is below the int8
+    # quantization error.
+    cdt = q_ref.dtype
+    qs = (q_ref[0].astype(jnp.float32) * ks_ref[0] * scale).astype(cdt)
     outs = []
     for g in range(n_head):
-        k = kq_ref[0, g * dh:(g + 1) * dh, :].astype(jnp.float32)  # (dh, T)
+        k = kq_ref[0, g * dh:(g + 1) * dh, :].astype(cdt)  # (dh, T)
         s = jax.lax.dot_general(
             qs[g:g + 1], k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (1, T)
+            preferred_element_type=jnp.float32)            # (1, T) f32
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        w = p / jnp.sum(p, axis=1, keepdims=True)          # (1, T) fp32
+        w = (p / jnp.sum(p, axis=1, keepdims=True)).astype(cdt)
 
-        v = vq_ref[0, g * dh:(g + 1) * dh, :].astype(jnp.float32)  # (dh, T)
+        v = vq_ref[0, g * dh:(g + 1) * dh, :].astype(cdt)  # (dh, T)
         outs.append(jax.lax.dot_general(
             w, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))           # (1, dh)

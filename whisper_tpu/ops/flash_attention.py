@@ -31,7 +31,10 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-Q_TILE = 512  # measured on v5e: 512 is ~11% faster than 128 at turbo size
+import os
+
+# measured on v5e: 512 ~11% faster than 128 at turbo size (sweepable)
+Q_TILE = int(os.environ.get("WHISPER_TPU_QTILE", "512"))
 _LANE = 128
 
 
@@ -40,14 +43,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_pad: int, scale: float):
-    """One (batch*head, q-tile) program: full-softmax attention in VMEM."""
-    q = q_ref[0].astype(jnp.float32) * scale              # (TQ, dh)
-    k = k_ref[0].astype(jnp.float32)                      # (Tk_pad, dh)
+    """One (batch*head, q-tile) program: full-softmax attention in VMEM.
+
+    Dots run on the inputs' NATIVE dtype with fp32 accumulation: casting
+    bf16 operands up to fp32 first forces the MXU into multi-pass fp32
+    emulation (~3x slower — measured 10.4 vs 4.5 ms/layer at turbo B64);
+    scaling happens on the fp32 scores instead of on q."""
+    q = q_ref[0]                                          # (TQ, dh)
+    k = k_ref[0]                                          # (Tk_pad, dh)
     v = v_ref[0]                                          # (Tk_pad, dh)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (TQ, Tk_pad)
+        preferred_element_type=jnp.float32)               # (TQ, Tk_pad) f32
+    s = s * scale
     if kv_pad > kv_len:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
@@ -103,6 +112,86 @@ def flash_attention(
         interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(B, H, tq_pad, dh)[:, :, :Tq, :]
+
+
+def _btd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads_blk: int, dh: int,
+                scale: float):
+    """One (batch, head-pair, q-tile) program over the native (B, T, D)
+    layout. The block carries ``n_heads_blk`` adjacent heads (the TPU
+    lowering needs the last block dim to be a multiple of 128 = 2*dh);
+    each head attends only within its own 64-column slice."""
+    outs = []
+    for g in range(n_heads_blk):
+        # native-dtype dots, fp32 accumulation (see _attn_kernel note)
+        q = q_ref[0, :, g * dh:(g + 1) * dh]
+        k = k_ref[0, :, g * dh:(g + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (TQ, Tk) f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        v = v_ref[0, :, g * dh:(g + 1) * dh]
+        outs.append(jax.lax.dot_general(
+            w, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))           # (TQ, dh)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret", "q_tile"))
+def flash_attention_btd(
+    q: jnp.ndarray,  # (B, T, D) — heads NOT split
+    k: jnp.ndarray,  # (B, T, D)
+    v: jnp.ndarray,  # (B, T, D)
+    n_head: int,
+    interpret: bool = False,
+    q_tile: int = Q_TILE,
+) -> jnp.ndarray:
+    """flash_attention reading/writing the model's native (B, T, D) layout.
+
+    The split-heads transposes, the pad-to-tile copies and the output
+    slice-back around the (B, H, T, dh) kernel measured ~410 ms per turbo-B64
+    encoder pass (xprof: copy.3x + pad.1x + slice.8) — pure HBM traffic.
+    Here the head axis is carved out by the BlockSpec index maps instead
+    (blocks of two adjacent heads, 128 columns), so the kernel consumes the
+    projection outputs directly and writes attention output the wo matmul
+    can consume, with zero relayouts. The ragged last q tile (1500 % 512)
+    relies on Pallas' non-divisible grid handling: OOB rows are dropped on
+    write and never mix into valid rows (row-wise softmax).
+    """
+    B, T, D = q.shape
+    dh = D // n_head
+    scale = dh ** -0.5
+    # heads per block: last block dim must be a multiple of 128 (dh=64 for
+    # every Whisper size, head counts all even -> 2 heads = 128 columns)
+    hb = max(1, _LANE // dh)
+    if n_head % hb or (dh * hb) % _LANE:
+        # odd layouts fall back to the split-head kernel path
+        from .flash_attention import flash_attention as _fa  # pragma: no cover
+
+        raise ValueError(f"flash_attention_btd needs n_head % {hb} == 0")
+    q_tile = min(q_tile, _round_up(T, 8))
+    n_tiles = -(-T // q_tile)
+    blk = dh * hb
+
+    kernel = functools.partial(_btd_kernel, n_heads_blk=hb, dh=dh, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_head // hb, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, blk), lambda b, h, i: (b, i, h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, T, blk), lambda b, h, i: (b, 0, h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, T, blk), lambda b, h, i: (b, 0, h),
+                         memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, blk), lambda b, h, i: (b, i, h),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), v.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out
 
 
 def use_flash() -> bool:
