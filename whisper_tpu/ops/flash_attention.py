@@ -33,8 +33,9 @@ except Exception:  # pragma: no cover
 
 import os
 
-# measured on v5e: 512 ~11% faster than 128 at turbo size (sweepable)
-Q_TILE = int(os.environ.get("WHISPER_TPU_QTILE", "512"))
+# v5e sweep at turbo B64 (tanh GELU, full encoder): 256 -> 1122 ms,
+# 512 -> 1091, 768 -> 1084 (best; 1500 ctx = 2 ragged tiles), 1024 -> 1201
+Q_TILE = int(os.environ.get("WHISPER_TPU_QTILE", "768"))
 _LANE = 128
 
 
