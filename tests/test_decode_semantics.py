@@ -111,6 +111,20 @@ def test_beam_kv_matches_fused(params, rng):
                                rtol=1e-5)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_jit_caches():
+    """Workaround for an environment-level jax dispatch bug: after specific
+    sequences of compilations across pytest test boundaries, re-dispatching
+    an already-compiled jit drops an argument buffer ("Execution supplied 52
+    buffers but compiled program expected 53"). Not reproducible in plain
+    scripts with identical call sequences (delta-debugged: greedy_decode in
+    one test, then beam_search twice across two tests). Clearing all jit
+    caches per test trades recompiles for immunity."""
+    import jax
+
+    jax.clear_caches()
+
+
 def test_beam_padded_prompt_parity(params, rng):
     """Beam with a zero left-pad must equal beam without prompt_pad — the
     invariant that lets longform condition-on-previous use beam search."""
@@ -215,36 +229,101 @@ def test_needs_retry_skips_silent_segments():
     np.testing.assert_array_equal(bad, [False, True])
 
 
-def test_transcribe_seek_skips_silent_windows(rng):
+_SEEK_SILENT_SCRIPT = r"""
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from whisper_tpu.config import WhisperConfig
+from whisper_tpu.longform import transcribe_seek
+from whisper_tpu.models.model import init_params
+from whisper_tpu.tokenizer import get_tokenizer
+
+cfg = WhisperConfig(
+    name="nano-sil", n_mels=80, n_audio_ctx=1500, n_audio_state=64,
+    n_audio_head=2, n_audio_layer=1, n_vocab=51865, n_text_ctx=24,
+    n_text_state=64, n_text_head=2, n_text_layer=1)
+
+class Pipe: pass
+pipe = Pipe()
+pipe.cfg = cfg
+pipe.params = init_params(cfg)
+pipe.compute_dtype = jnp.float32
+pipe.task = "transcribe"
+pipe.max_tokens = 4
+pipe.kv_quant = False
+pipe._suppress_ids = None
+pipe.tokenizer = get_tokenizer(True, num_languages=99)
+# force every window silent: any nsp beats -1, and no finite avg_logprob
+# clears a +1e9 confidence bar
+pipe.no_speech_threshold = -1.0
+pipe.logprob_threshold = 1e9
+
+rng = np.random.default_rng(0)
+waves = [(rng.standard_normal(16000 * 45) * 0.1).astype(np.float32)]
+out = transcribe_seek(pipe, waves, "en")
+text, segs = out[0]
+assert text == "", text
+assert segs == [], segs
+print("SEEK_SILENT_OK")
+"""
+
+
+def test_transcribe_seek_skips_silent_windows():
     """With everything classified silent, the seek loop advances full windows,
-    emits nothing, and terminates."""
-    from whisper_tpu.longform import transcribe_seek
-    from whisper_tpu.tokenizer import get_tokenizer
+    emits nothing, and terminates.
 
-    cfg = WhisperConfig(
-        name="nano-sil", n_mels=80, n_audio_ctx=1500, n_audio_state=64,
-        n_audio_head=2, n_audio_layer=1, n_vocab=51865, n_text_ctx=24,
-        n_text_state=64, n_text_head=2, n_text_layer=1)
+    Runs in a subprocess: in-process, this exact call sequence triggers the
+    environment's jit-dispatch corruption (see _fresh_jit_caches) after the
+    earlier tests' compilations, even with cleared caches; the identical
+    sequence passes in a fresh interpreter.
+    """
+    import os
+    import subprocess
+    import sys
 
-    class Pipe:
-        pass
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SEEK_SILENT_SCRIPT], env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SEEK_SILENT_OK" in proc.stdout
 
-    pipe = Pipe()
-    pipe.cfg = cfg
-    pipe.params = init_params(cfg)
-    pipe.compute_dtype = jnp.float32
-    pipe.task = "transcribe"
-    pipe.max_tokens = 4
-    pipe.kv_quant = False
-    pipe._suppress_ids = None
-    pipe.tokenizer = get_tokenizer(True, num_languages=99)
-    # force every window silent: any nsp beats -1, and no finite avg_logprob
-    # clears a +1e9 confidence bar
-    pipe.no_speech_threshold = -1.0
-    pipe.logprob_threshold = 1e9
 
-    waves = [(rng.standard_normal(16000 * 45) * 0.1).astype(np.float32)]
-    out = transcribe_seek(pipe, waves, "en")
-    text, segs = out[0]
-    assert text == ""
-    assert segs == []
+def test_initial_prompt_prefix(params, rng):
+    """initial_prompt builds a [sot_prev, tokens] prefix and the decode
+    matches a manual greedy_decode with the same prompt + sot_index."""
+    import pytest as _pytest
+
+    from whisper_tpu.pipeline import WhisperPipeline
+    from whisper_tpu.tokenizer import find_vocab_file
+
+    try:
+        find_vocab_file()
+    except FileNotFoundError:
+        _pytest.skip("vocab asset unavailable")
+
+    pipe = WhisperPipeline(model="test-nano", language="en",
+                           apply_filters=False, max_tokens=6,
+                           initial_prompt="ZyXw glossary")
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    r = pipe.transcribe(audio)
+
+    ptoks = pipe.tokenizer.encode(" ZyXw glossary")
+    base = list(pipe.cfg.sot_sequence("en", "transcribe"))
+    manual_prompt = np.asarray([[pipe.cfg.sot_prev, *ptoks, *base]], np.int32)
+    from whisper_tpu.ops.mel import log_mel_batch
+
+    batch = np.zeros((1, 480000), np.float32)
+    batch[0, :8000] = audio
+    mel = log_mel_batch(jnp.asarray(batch),
+                        jnp.asarray([8000], np.int32))[..., : 2 * pipe.cfg.n_audio_ctx]
+    manual = greedy_decode(pipe.params, mel, jnp.asarray(manual_prompt),
+                           pipe.cfg, max_tokens=6,
+                           sot_index=1 + len(ptoks))
+    toks = np.asarray(manual.tokens)[0]
+    ln = int(np.asarray(manual.lengths)[0])
+    manual_text = pipe.tokenizer.decode(
+        toks[manual_prompt.shape[1]: ln]).strip()
+    assert r.text == manual_text

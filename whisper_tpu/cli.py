@@ -38,6 +38,9 @@ def get_args(argv=None):
                    help="seek-based long-form (timestamp-conditioned windows)")
     p.add_argument("--no_condition", action="store_true",
                    help="disable condition-on-previous-text in --longform")
+    p.add_argument("--initial_prompt", default=None,
+                   help="free text to prime the decoder with (names, jargon, "
+                        "style) — prepended as [sot_prev, tokens] context")
     return p.parse_args(argv)
 
 
@@ -58,6 +61,7 @@ def main(argv=None) -> int:
         beam_size=args.beam,
         timestamps=args.timestamps,
         max_tokens=args.max_tokens,
+        initial_prompt=args.initial_prompt,
         kv_quant=args.kv_quant,
         self_kv_quant=args.self_kv_quant,
         condition_on_previous_text=not args.no_condition,

@@ -148,12 +148,16 @@ def transcribe_seek(pipe, waves, language: str):
             lengths[j] = len(win)
 
         prev_tok = [[] for _ in live]
-        if condition:
+        initial = (getattr(pipe, "initial_prompt", None) or "").strip()
+        if condition or initial:
             for j, i in enumerate(live):
-                prev = " ".join(texts[i]).strip()
+                # OpenAI semantics: initial_prompt seeds the context history
+                # and fades out as real transcript accumulates
+                parts = ([initial] if initial else []) + (texts[i] if condition else [])
+                prev = " ".join(parts).strip()
                 if prev:
                     prev_tok[j] = pipe.tokenizer.encode(" " + prev)[-max_prev:]
-        if condition and any(prev_tok):
+        if any(prev_tok):
             prev_w = _bucket_prev(max(len(t) for t in prev_tok))
             P = 1 + prev_w + len(sot_seq)  # [sot_prev, prev..., sot, lang, task]
             prompts = np.full((bucket, P), cfg.eot, np.int32)
@@ -173,7 +177,7 @@ def transcribe_seek(pipe, waves, language: str):
             prompts = np.tile(sot_seq[None], (bucket, 1))
             prompt_pad, sot_index = None, 0
         mel = log_mel_batch(jnp.asarray(batch), jnp.asarray(lengths),
-                            n_mels=cfg.n_mels)
+                            n_mels=cfg.n_mels)[..., : 2 * cfg.n_audio_ctx]
         if getattr(pipe, "beam_size", 0) and pipe.beam_size > 1:
             from .beam import beam_search
 

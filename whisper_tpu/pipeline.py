@@ -83,6 +83,7 @@ class WhisperPipeline:
         logprob_threshold: float = -1.0,
         no_speech_threshold: float = 0.6,
         condition_on_previous_text: bool = True,
+        initial_prompt: Optional[str] = None,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -104,6 +105,9 @@ class WhisperPipeline:
         self.no_speech_threshold = no_speech_threshold
         # used by the seek-based long-form path (longform.transcribe_seek)
         self.condition_on_previous_text = condition_on_previous_text
+        # OpenAI --initial_prompt: free text prepended as [sot_prev, tokens]
+        # context (vocabulary/style priming); the reference has no analog
+        self.initial_prompt = initial_prompt
 
         if checkpoint is not None:
             self.params, self.cfg = load_checkpoint(checkpoint, size=model)
@@ -163,6 +167,9 @@ class WhisperPipeline:
         n_chunks = [len(cl) for cl in chunk_lists]
         batch, lengths, secs = self._prepare_batch(flat_waves)
         mel = log_mel_batch(batch, lengths, n_mels=self.cfg.n_mels)
+        # configs with a shorter audio context (tests, distil variants) take
+        # the leading frames — same contract as the serving engine
+        mel = mel[..., : 2 * self.cfg.n_audio_ctx]
 
         # ONE encoder pass feeds language detection, decode and the retry
         # ladder (the reference's closest analog is its DMA'd cross-KV
@@ -180,6 +187,16 @@ class WhisperPipeline:
         prompts = np.stack([self._prompt(l) for l in langs])
         if self.timestamps:
             prompts = prompts[:, :-1]  # drop <|notimestamps|>
+        sot_index = 0
+        if self.initial_prompt:
+            # [sot_prev, *prompt_tokens] prefix (OpenAI initial_prompt);
+            # same prefix for every stream, so no left-pad is needed
+            ptoks = self.tokenizer.encode(
+                " " + self.initial_prompt.strip())[- (self.cfg.n_text_ctx // 2 - 1):]
+            prefix = np.asarray([self.cfg.sot_prev, *ptoks], np.int32)
+            prompts = np.concatenate(
+                [np.tile(prefix[None], (len(prompts), 1)), prompts], axis=1)
+            sot_index = len(prefix)
         suppress = jnp.asarray(self._suppress_ids) if self._suppress_ids is not None else None
         if self.beam_size and self.beam_size > 1:
             from .beam import beam_search_kv
@@ -196,6 +213,7 @@ class WhisperPipeline:
                 timestamps=self.timestamps,
                 apply_filters=self.apply_filters,
                 self_kv_quant=self.self_kv_quant,
+                sot_index=sot_index,
             )
         else:
             result = greedy_decode_kv(
@@ -210,11 +228,13 @@ class WhisperPipeline:
                 apply_filters=self.apply_filters,
                 self_kv_quant=self.self_kv_quant,
                 temperature=self.temperature,
+                sot_index=sot_index,
             )
         # OpenAI's temperature ladder falls back from beam/greedy at t=0 to
         # sampling at increasing temperatures; it applies to both paths
         if self.temperature_fallback:
-            result = self._temperature_retry(result, cross_kv, prompts, suppress)
+            result = self._temperature_retry(result, cross_kv, prompts,
+                                             suppress, sot_index=sot_index)
         texts = extract_texts(result, prompts.shape[1], self.tokenizer,
                               timestamps=self.timestamps)
         silent = self._silence_mask(result)
@@ -277,7 +297,8 @@ class WhisperPipeline:
                 bad[i] = True
         return bad & ~self._silence_mask(result)
 
-    def _temperature_retry(self, result, cross_kv, prompts, suppress):
+    def _temperature_retry(self, result, cross_kv, prompts, suppress,
+                           sot_index: int = 0):
         """Whisper's temperature ladder: re-decode failed utterances at
         increasing temperatures until the quality criteria pass (OpenAI
         decode semantics the reference has no equivalent of). Reuses the
@@ -301,6 +322,7 @@ class WhisperPipeline:
                 self_kv_quant=self.self_kv_quant,
                 temperature=temp,
                 seed=int(temp * 1000),
+                sot_index=sot_index,
             )
             tokens = np.asarray(result.tokens)
             lengths = np.asarray(result.lengths)
