@@ -190,6 +190,12 @@ def encoder_forward(
     flash = os.environ.get("WHISPER_TPU_FLASH", "auto")
     on_tpu = use_flash()
     use_btd = flash in ("auto", "btd") and on_tpu or flash == "btd"
+    # BTD blocks carry 128 columns of adjacent heads; head counts that don't
+    # tile (e.g. tiny test configs with dh=32) use the split-head kernel
+    dh_enc = cfg.n_audio_state // n_head
+    heads_per_blk = max(1, 128 // dh_enc)
+    if use_btd and (n_head % heads_per_blk or (dh_enc * heads_per_blk) % 128):
+        use_btd = False
     use_pallas = (use_flash() if flash == "auto" else flash in ("1", "bhtd"))
 
     def block(x, p):

@@ -167,9 +167,7 @@ def flash_attention_btd(
     # every Whisper size, head counts all even -> 2 heads = 128 columns)
     hb = max(1, _LANE // dh)
     if n_head % hb or (dh * hb) % _LANE:
-        # odd layouts fall back to the split-head kernel path
-        from .flash_attention import flash_attention as _fa  # pragma: no cover
-
+        # odd layouts: callers should use the split-head flash_attention
         raise ValueError(f"flash_attention_btd needs n_head % {hb} == 0")
     q_tile = min(q_tile, _round_up(T, 8))
     n_tiles = -(-T // q_tile)
