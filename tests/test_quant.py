@@ -191,3 +191,39 @@ def test_int8_self_and_cross_kv_combined(rng):
     res = greedy_decode(p, mel, prompt, NANO, max_tokens=6, kv_quant=True,
                         self_kv_quant=True)
     assert np.asarray(res.lengths).min() >= prompt.shape[1]
+
+
+def test_int8_logits_emb(rng):
+    """quantize_logits_emb adds an int8 logits copy; decode runs and the
+    logits stay close to the fp path (per-row int8 rounding only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.config import WhisperConfig
+    from whisper_tpu.models.model import (KVCache, compute_cross_kv,
+                                          decoder_forward, encoder_forward,
+                                          init_params)
+    from whisper_tpu.ops.quant import quantize_logits_emb
+
+    cfg = WhisperConfig(name="q8l", n_mels=80, n_audio_ctx=32,
+                        n_audio_state=64, n_audio_head=2, n_audio_layer=1,
+                        n_vocab=512, n_text_ctx=16, n_text_state=64,
+                        n_text_head=2, n_text_layer=1)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_logits_emb(params)
+    assert "tok_emb_q8" in qp["decoder"]
+    assert qp["decoder"]["tok_emb_q8"].q.dtype == jnp.int8
+    # gather table untouched
+    np.testing.assert_array_equal(np.asarray(qp["decoder"]["tok_emb"]),
+                                  np.asarray(params["decoder"]["tok_emb"]))
+
+    mel = jnp.asarray(rng.standard_normal((1, 80, 64)).astype(np.float32))
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    audio = encoder_forward(params, mel, cfg)
+    ckv = compute_cross_kv(params, audio, cfg)
+    ref, _ = decoder_forward(params, toks, 0, KVCache.create(cfg, 1), ckv, cfg)
+    got, _ = decoder_forward(qp, toks, 0, KVCache.create(cfg, 1), ckv, cfg)
+    ref, got = np.asarray(ref), np.asarray(got)
+    # int8 per-row quantization: relative error ~2^-7 of the row scale
+    denom = np.maximum(np.abs(ref).max(), 1e-3)
+    assert np.abs(got - ref).max() / denom < 0.03

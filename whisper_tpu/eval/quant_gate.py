@@ -50,7 +50,8 @@ class GateResult:
 
 # "fp32" is a control row: no quantization, must measure ~zero divergence
 # (proves the harness itself adds no error)
-VARIANTS = ("fp32", "int8_weights", "int8_cross_kv", "int8_self_kv", "int8_all")
+VARIANTS = ("fp32", "int8_weights", "int8_cross_kv", "int8_self_kv",
+            "int8_logits", "int8_all")
 
 
 def _teacher_forced_logits(params, cross_kv, tokens, lengths, cfg, dt,
@@ -105,6 +106,10 @@ def run_gate(
     self_kv_quant = variant in ("int8_self_kv", "int8_all")
     if variant in ("int8_weights", "int8_all"):
         q_params = quantize_params(params)
+    if variant in ("int8_logits", "int8_all"):
+        from ..ops.quant import quantize_logits_emb
+
+        q_params = quantize_logits_emb(q_params)
 
     ref_ckv = encode_cross_kv(params, mel, cfg, dt)
     q_ckv = encode_cross_kv(q_params, mel, cfg, dt, kv_quant=kv_quant)

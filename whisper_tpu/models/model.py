@@ -400,6 +400,23 @@ def attention_int8kv_perpos(
                       preferred_element_type=dt)
 
 
+def _logits(x: jnp.ndarray, dec: Params, dt) -> jnp.ndarray:
+    """Tied-embedding logits (export_onnx.py:377-386): compute-dtype inputs,
+    fp32 accumulation — a full-precision cast would stream a fp32 copy of
+    the (V, D) embedding through HBM every decode step. With
+    ops.quant.quantize_logits_emb applied, the matmul reads an int8 copy
+    (halving the dominant logits read) with exact per-vocab-row rescale on
+    the fp32 output; the embedding GATHER keeps the high-precision table.
+    """
+    if "tok_emb_q8" in dec:
+        q8 = dec["tok_emb_q8"]
+        logits = jnp.einsum("bsd,vd->bsv", x.astype(dt), q8.q.astype(dt),
+                            preferred_element_type=jnp.float32)
+        return logits * q8.s.astype(jnp.float32).reshape(1, 1, -1)
+    return jnp.einsum("bsd,vd->bsv", x.astype(dt), dec["tok_emb"].astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
 def decoder_forward(
     params: Params,
     tokens: jnp.ndarray,  # (B, S) int32
@@ -512,12 +529,7 @@ def decoder_forward(
         scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    # tied-embedding logits, fp32 island (export_onnx.py:377-386)
-    # tied-embedding logits: compute-dtype inputs, fp32 accumulation — a
-    # full-precision cast would stream a fp32 copy of the (V, D) embedding
-    # through HBM every decode step
-    logits = jnp.einsum("bsd,vd->bsv", x.astype(dt), dec["tok_emb"].astype(dt),
-                        preferred_element_type=jnp.float32)
+    logits = _logits(x, dec, dt)
     return logits, type(kv)(kc, vc)
 
 
@@ -611,11 +623,7 @@ def decoder_step_multipos(
         scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    # tied-embedding logits: compute-dtype inputs, fp32 accumulation — a
-    # full-precision cast would stream a fp32 copy of the (V, D) embedding
-    # through HBM every decode step
-    logits = jnp.einsum("bsd,vd->bsv", x.astype(dt), dec["tok_emb"].astype(dt),
-                        preferred_element_type=jnp.float32)
+    logits = _logits(x, dec, dt)
     return logits[:, 0], type(kv)(kc, vc)
 
 

@@ -96,6 +96,24 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return walk(params, ())
 
 
+def quantize_logits_emb(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Add an int8 copy of the tied embedding for the LOGITS matmul only.
+
+    The decode step streams the whole (V, D) embedding from HBM every token
+    (133 MB bf16 at turbo) to compute logits; an int8 per-vocab-row copy
+    halves that. The embedding GATHER keeps the original high-precision
+    table (the same FP32-island policy the reference pins for Gather ops,
+    model_convert/config_whisper_decoder_u16.json:47-63). Gate accuracy with
+    whisper_tpu.eval.quant_gate (variant ``int8_logits``).
+    """
+    out = dict(params)
+    dec = dict(out["decoder"])
+    dec["tok_emb_q8"] = quantize_weight(
+        np.asarray(dec["tok_emb"]), axis=0)  # per-vocab-row scales (V, 1)
+    out["decoder"] = dec
+    return out
+
+
 def quantized_bytes(params) -> int:
     """Total parameter bytes after quantization (for memory reporting)."""
     total = 0

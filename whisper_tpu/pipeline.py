@@ -75,6 +75,7 @@ class WhisperPipeline:
         max_tokens: Optional[int] = None,
         apply_filters: bool = True,
         quantize: bool = False,
+        quantize_logits: bool = False,
         kv_quant: bool = False,
         self_kv_quant: bool = False,
         temperature: float = 0.0,
@@ -118,6 +119,10 @@ class WhisperPipeline:
             from .ops.quant import quantize_params
 
             self.params = quantize_params(self.params)
+        if quantize_logits:
+            from .ops.quant import quantize_logits_emb
+
+            self.params = quantize_logits_emb(self.params)
         from .models.model import cast_floating
 
         self.params = cast_floating(self.params, self.compute_dtype)
