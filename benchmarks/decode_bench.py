@@ -13,6 +13,8 @@ Variants (cross/self KV quant spelled in the name; default bf16):
   full_sq       int8 self-KV
   full_xq_sq    both int8
   int8w         int8 weights + int8 cross/self KV
+  int8w_lq      int8w + int8 logits embedding (quantize_logits_emb)
+  full_xq_sq_lq full_xq_sq + int8 logits embedding
   no_cross      step with cross-attention removed       (ablation)
   no_self       step with self-attention removed        (ablation)
   no_mlp        step with the MLP removed               (ablation)
@@ -181,10 +183,14 @@ def main() -> int:
     cfg = get_config(args.model)
     dt = jnp.dtype(args.dtype)
     params = init_params(cfg, jax.random.PRNGKey(0))
-    if args.variant == "int8w":
+    if args.variant.startswith("int8w"):
         from whisper_tpu.ops.quant import quantize_params
 
         params = quantize_params(params)
+    if args.variant.endswith("_lq"):
+        from whisper_tpu.ops.quant import quantize_logits_emb
+
+        params = quantize_logits_emb(params)
     params = jax.device_put(cast_floating(params, dt))
 
     B = args.batch
@@ -196,6 +202,7 @@ def main() -> int:
     ck = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cv = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cross_quant = args.variant in ("full_xq", "full_xq_sq", "int8w",
+                                   "int8w_lq", "full_xq_sq_lq",
                                    "pallas_cross", "pallas_cross_vpu")
     if cross_quant:
         cross_kv = tuple(jax.device_put(t) for t in quantize_cross_kv((ck, cv)))
@@ -203,7 +210,8 @@ def main() -> int:
         cross_kv = (jax.device_put(ck.astype(dt)), jax.device_put(cv.astype(dt)))
     del ck, cv
 
-    self_quant = args.variant in ("full_sq", "full_xq_sq", "int8w")
+    self_quant = args.variant in ("full_sq", "full_xq_sq", "int8w",
+                                  "int8w_lq", "full_xq_sq_lq")
     if self_quant:
         kv = QKVCache.create(cfg, B)
     else:

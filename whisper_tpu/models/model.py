@@ -400,6 +400,18 @@ def attention_int8kv_perpos(
                       preferred_element_type=dt)
 
 
+def _decode_unroll() -> int:
+    """Decoder layer-scan unroll factor (WHISPER_TPU_DECODE_UNROLL, default 1).
+
+    Turbo has only 4 decoder layers; unrolling lets XLA overlap HBM streams
+    across layer boundaries in the latency-bound decode step at the cost of
+    a bigger program (longer compiles through the axon tunnel).
+    """
+    import os
+
+    return int(os.environ.get("WHISPER_TPU_DECODE_UNROLL", "1"))
+
+
 def _logits(x: jnp.ndarray, dec: Params, dt) -> jnp.ndarray:
     """Tied-embedding logits (export_onnx.py:377-386): compute-dtype inputs,
     fp32 accumulation — a full-precision cast would stream a fp32 copy of
@@ -526,7 +538,8 @@ def decoder_forward(
         return (x, kcache, vcache, layer + 1), None
 
     (x, kc, vc, _), _ = jax.lax.scan(
-        scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv))
+        scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv),
+        unroll=_decode_unroll())
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     logits = _logits(x, dec, dt)
@@ -620,7 +633,8 @@ def decoder_step_multipos(
         return (x, kcache, vcache, layer + 1), None
 
     (x, kc, vc, _), _ = jax.lax.scan(
-        scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv))
+        scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv),
+        unroll=_decode_unroll())
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     logits = _logits(x, dec, dt)
