@@ -14,6 +14,8 @@ Variants (cross/self KV quant spelled in the name; default bf16):
   full_xq_sq    both int8
   int8w         int8 weights + int8 cross/self KV
   int8w_lq      int8w + int8 logits embedding (quantize_logits_emb)
+  model_fwd     the shipped models.model.decoder_forward (int8 cross+self KV),
+                including env-gated paths (FUSED_QKV, DECODE_UNROLL)
   full_xq_sq_lq full_xq_sq + int8 logits embedding
   no_cross      step with cross-attention removed       (ablation)
   no_self       step with self-attention removed        (ablation)
@@ -42,6 +44,22 @@ def build_step(variant: str, cfg, dt):
     axon tunnel, BENCH_NOTES.md)."""
     import jax
     import jax.numpy as jnp
+
+    if variant == "model_fwd":
+        # the SHIPPED decoder_forward (S=1) — measures model.py as-is,
+        # including env-gated paths (WHISPER_TPU_FUSED_QKV, DECODE_UNROLL)
+        from whisper_tpu.models.model import KVCache as _KV
+        from whisper_tpu.models.model import QKVCache as _QKV
+        from whisper_tpu.models.model import decoder_forward as _fwd
+
+        def step(params, tokens, offset, kcache, vcache, cross_kv):
+            cls = _QKV if kcache.dtype == jnp.int8 else _KV
+            logits, kv = _fwd(params, tokens[:, None], offset,
+                              cls(kcache, vcache), cross_kv, cfg, dt)
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return nxt, kv[0], kv[1]
+
+        return step
 
     from whisper_tpu.models.model import (
         KVCache,
@@ -202,7 +220,7 @@ def main() -> int:
     ck = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cv = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cross_quant = args.variant in ("full_xq", "full_xq_sq", "int8w",
-                                   "int8w_lq", "full_xq_sq_lq",
+                                   "int8w_lq", "full_xq_sq_lq", "model_fwd",
                                    "pallas_cross", "pallas_cross_vpu")
     if cross_quant:
         cross_kv = tuple(jax.device_put(t) for t in quantize_cross_kv((ck, cv)))
@@ -211,7 +229,7 @@ def main() -> int:
     del ck, cv
 
     self_quant = args.variant in ("full_sq", "full_xq_sq", "int8w",
-                                  "int8w_lq", "full_xq_sq_lq")
+                                  "int8w_lq", "full_xq_sq_lq", "model_fwd")
     if self_quant:
         kv = QKVCache.create(cfg, B)
     else:
