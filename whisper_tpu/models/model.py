@@ -400,6 +400,36 @@ def attention_int8kv_perpos(
                       preferred_element_type=dt)
 
 
+def _fused_qkv(h: jnp.ndarray, pa: Params, dt):
+    """q/k/v projections as ONE matmul over concatenated weights.
+
+    The decode step at M=64 is launch-overhead-bound, not FLOP-bound: three
+    (D, D) matmuls become one (D, 3D). The weight concat is loop-invariant,
+    so XLA hoists it out of the decode while_loop (one-time cost, not
+    per-token). Enabled by WHISPER_TPU_FUSED_QKV=1 (default on for the
+    decoder step paths)."""
+    from ..ops.quant import QTensor
+
+    wq, wk, wv = pa["wq"], pa["wk"], pa["wv"]
+    if isinstance(wq, QTensor):
+        w = QTensor(jnp.concatenate([wq.q, wk.q, wv.q], axis=-1),
+                    jnp.concatenate([wq.s, wk.s, wv.s], axis=-1))
+    else:
+        w = jnp.concatenate([wq, wk, wv], axis=-1)
+    qkv = _linear(h, w, None, dt)
+    D = h.shape[-1]
+    q = qkv[..., :D] + pa["bq"].astype(dt)
+    k = qkv[..., D:2 * D]
+    v = qkv[..., 2 * D:] + pa["bv"].astype(dt)
+    return q, k, v
+
+
+def _use_fused_qkv() -> bool:
+    import os
+
+    return os.environ.get("WHISPER_TPU_FUSED_QKV", "0") == "1"
+
+
 def _decode_unroll() -> int:
     """Decoder layer-scan unroll factor (WHISPER_TPU_DECODE_UNROLL, default 1).
 
@@ -486,9 +516,12 @@ def decoder_forward(
         p, cross = inp[0], inp[1:]
         x, kcache, vcache, layer = carry  # for QKVCache: (x, q, s, layer)
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
-        q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
-        k_new = _linear(h, p["attn"]["wk"], None, dt)
-        v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        if _use_fused_qkv():
+            q, k_new, v_new = _fused_qkv(h, p["attn"], dt)
+        else:
+            q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+            k_new = _linear(h, p["attn"]["wk"], None, dt)
+            v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
         if self_quant:
             qn, sn = quantize_kv_heads(_split_heads(k_new, n_head),
                                        _split_heads(v_new, n_head))
@@ -584,9 +617,12 @@ def decoder_step_multipos(
         p, cross = inp[0], inp[1:]
         x, kcache, vcache, layer = carry  # for QKVCache: (x, q, s, layer)
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
-        q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
-        k_new = _linear(h, p["attn"]["wk"], None, dt)
-        v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        if _use_fused_qkv():
+            q, k_new, v_new = _fused_qkv(h, p["attn"], dt)
+        else:
+            q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+            k_new = _linear(h, p["attn"]["wk"], None, dt)
+            v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
         # per-stream scatter: cache[l, b, :, :, offsets[b]] = new (position-minor)
         dh = cfg.head_dim_text
         kh = k_new[:, 0, :].reshape(B, n_head, dh)
