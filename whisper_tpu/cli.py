@@ -28,6 +28,11 @@ def get_args(argv=None):
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
     p.add_argument("--timestamps", action="store_true", help="emit timestamp tokens")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8-quantize attention/MLP weights (fp32 islands kept)")
+    p.add_argument("--quantize_logits", action="store_true",
+                   help="int8 logits-embedding copy (halves the decode "
+                        "step's largest weight read; gate with quant_gate)")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8-quantize the cross-attention KV cache")
     p.add_argument("--self_kv_quant", action="store_true",
@@ -62,6 +67,8 @@ def main(argv=None) -> int:
         timestamps=args.timestamps,
         max_tokens=args.max_tokens,
         initial_prompt=args.initial_prompt,
+        quantize=args.quantize,
+        quantize_logits=args.quantize_logits,
         kv_quant=args.kv_quant,
         self_kv_quant=args.self_kv_quant,
         condition_on_previous_text=not args.no_condition,

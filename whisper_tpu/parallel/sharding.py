@@ -137,6 +137,12 @@ def shard_params(params, mesh: Mesh, cfg: WhisperConfig):
     from ..ops.quant import QTensor
 
     specs = param_specs(cfg)
+    if "tok_emb_q8" in params.get("decoder", {}):
+        # the int8 logits copy (ops.quant.quantize_logits_emb) shards like
+        # the embedding it mirrors
+        specs = dict(specs)
+        specs["decoder"] = dict(specs["decoder"])
+        specs["decoder"]["tok_emb_q8"] = specs["decoder"]["tok_emb"]
 
     def put(x, s):
         if isinstance(x, QTensor):
