@@ -65,6 +65,20 @@ def test_quant_variants_produce_finite_metrics(setup, variant):
     assert r.kl_mean < 1.0, f"{variant}: kl={r.kl_mean}"
 
 
+def test_gelu_tanh_variant_small_divergence(setup, monkeypatch):
+    """The tanh-GELU approximation (flagship bench config) must register as a
+    small, finite divergence — and must restore the erf default afterwards."""
+    params, mel = setup
+    monkeypatch.delenv("WHISPER_TPU_GELU", raising=False)
+    r = run_gate(params, NANO, mel, "gelu_tanh", max_tokens=8)
+    assert r.steps > 0
+    assert np.isfinite(r.kl_mean) and 0.0 <= r.kl_mean < 0.5
+    assert r.logit_max_abs_err > 0.0  # it IS a different function
+    import os
+
+    assert "WHISPER_TPU_GELU" not in os.environ
+
+
 def test_gate_thresholds():
     good = GateResult("a", kl_mean=0.001, top1_agreement=0.999,
                       logit_max_abs_err=0.1, steps=100)
