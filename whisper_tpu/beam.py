@@ -55,6 +55,19 @@ def _gather_beams(x: jnp.ndarray, src: jnp.ndarray, B: int, K: int) -> jnp.ndarr
     return out.reshape(B * K, *x.shape[1:])
 
 
+def _gather_kv(cache: jnp.ndarray, src: jnp.ndarray, B: int, K: int) -> jnp.ndarray:
+    """Beam-reorder axis 1 (the B*K stream axis) of a (L, B*K, ...) KV cache.
+
+    A reshape-only ``take_along_axis`` — the earlier moveaxis(1, 0) round
+    trip relaid the multi-hundred-MB cache out twice per decode step on top
+    of the gather itself."""
+    rest = cache.shape[2:]
+    shaped = cache.reshape(cache.shape[0], B, K, *rest)
+    idx = src.reshape(1, B, K, *([1] * len(rest)))
+    out = jnp.take_along_axis(shaped, idx, axis=2)
+    return out.reshape(cache.shape)
+
+
 def _beam_from_kv(
     params: Params,
     cross_kv,             # 2- or 4-tuple, every leaf (L, B, ...)
@@ -103,7 +116,10 @@ def _beam_from_kv(
     def tile(x, axis):  # repeat each utterance K times along `axis`
         return jnp.repeat(x, K, axis=axis)
 
-    ckv = tuple(tile(a, 1) for a in cross_kv)
+    # cross_kv is NOT tiled per beam: all K beams of an utterance share its
+    # audio, so the decode loop folds beams into the cross-attention query
+    # axis (decoder_forward(beam_k=K)) — K× less cross-KV HBM read AND
+    # residency than the tiled layout, and no per-step beam reorder of it
     kv = cache_cls(tile(kv[0], 1), tile(kv[1], 1))
     pad_n = tile(prompt_pad, 0) if prompt_pad is not None else None
 
@@ -150,8 +166,8 @@ def _beam_from_kv(
     def body(c: Carry):
         tok_i = jax.lax.dynamic_slice(c.tokens, (0, c.i), (N, 1))
         logits, new_kv = decoder_forward(
-            params, tok_i, c.i, cache_cls(c.kv_k, c.kv_v), ckv, cfg,
-            compute_dtype, pad=pad_n)
+            params, tok_i, c.i, cache_cls(c.kv_k, c.kv_v), cross_kv, cfg,
+            compute_dtype, pad=pad_n, beam_k=K)
         lp = jax.nn.log_softmax(
             filt(logits[:, 0], c.rs).astype(jnp.float32), axis=-1)  # (N, V)
 
@@ -187,10 +203,8 @@ def _beam_from_kv(
         flat_src = new_src.reshape(N)
         tokens = _gather_beams(c.tokens, flat_src, B, K)
         tokens = jax.lax.dynamic_update_slice(tokens, new_tok.reshape(N, 1), (0, c.i + 1))
-        kv_k = jnp.moveaxis(
-            _gather_beams(jnp.moveaxis(new_kv[0], 1, 0), flat_src, B, K), 0, 1)
-        kv_v = jnp.moveaxis(
-            _gather_beams(jnp.moveaxis(new_kv[1], 1, 0), flat_src, B, K), 0, 1)
+        kv_k = _gather_kv(new_kv[0], flat_src, B, K)
+        kv_v = _gather_kv(new_kv[1], flat_src, B, K)
         rs = RuleState(
             last=_gather_beams(c.rs.last, flat_src, B, K),
             penult=_gather_beams(c.rs.penult, flat_src, B, K),

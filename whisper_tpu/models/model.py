@@ -468,6 +468,7 @@ def decoder_forward(
     cfg: WhisperConfig,
     compute_dtype=jnp.float32,
     pad: Optional[jnp.ndarray] = None,  # (B,) int32: masked left-pad length
+    beam_k: Optional[int] = None,  # cross_kv batch is B // beam_k (shared)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run S decoder positions starting at ``offset`` against the KV cache.
 
@@ -479,6 +480,14 @@ def decoder_forward(
     right-aligned with ``pad[b]`` dummy tokens in front, which are excluded
     from self-attention, and positional embeddings are indexed ``pos - pad[b]``
     so real tokens get the canonical positions 0, 1, 2, ...
+
+    ``beam_k``: the K beams of one utterance share its cross-KV exactly (the
+    audio never changes under beam reordering), so beam search passes
+    UNEXPANDED cross_kv (leading batch B // beam_k) and S=1 queries fold into
+    the cross-attention query-length axis instead — the dominant decode-step
+    HBM stream (the full cross-KV read) is paid once per utterance, not once
+    per beam, and the M=K matmul fills the MXU better than K M=1 ones.
+    Self-attention state stays per-beam (batch B).
     """
     dec = params["decoder"]
     dt = compute_dtype
@@ -552,17 +561,27 @@ def decoder_forward(
 
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
-        if decode_flash:
+        qh = _split_heads(q, n_head)  # (B, H, S, dh)
+        if beam_k is not None:
+            # fold each utterance's K beams into the query-length axis:
+            # (Bu*K, H, S, dh) -> (Bu, H, K*S, dh) against Bu-batch cross —
+            # the full cross-KV read is paid once per utterance, not per beam
+            dh = cfg.head_dim_text
+            Bu = B // beam_k
+            qh = (qh.reshape(Bu, beam_k, n_head, S, dh)
+                  .transpose(0, 2, 1, 3, 4).reshape(Bu, n_head, beam_k * S, dh))
+        if decode_flash and beam_k is None:
             from ..ops.decode_attention import cross_attention_decode
 
-            o = cross_attention_decode(_split_heads(q, n_head), cross[0],
-                                       cross[1], cross[2], cross[3])
+            o = cross_attention_decode(qh, cross[0], cross[1], cross[2],
+                                       cross[3])
         elif kv_quant:
-            o = attention_int8kv(_split_heads(q, n_head), cross[0], cross[1],
-                                 cross[2], cross[3])
+            o = attention_int8kv(qh, cross[0], cross[1], cross[2], cross[3])
         else:
-            o = attention(_split_heads(q, n_head), cross[0].astype(dt),
-                          cross[1].astype(dt))
+            o = attention(qh, cross[0].astype(dt), cross[1].astype(dt))
+        if beam_k is not None:
+            o = (o.reshape(Bu, n_head, beam_k, S, dh)
+                 .transpose(0, 2, 1, 3, 4).reshape(B, n_head, S, dh))
         x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
