@@ -92,6 +92,10 @@ def _beam_from_kv(
     P = prompt_len or prompt.shape[1]
     T = cfg.n_text_ctx
     limit = min(T, P + max_tokens) if max_tokens else T
+    # bucketed self-KV: the loop never touches positions >= limit (static),
+    # so the cache — and its per-step full read AND beam-reorder gather —
+    # shrinks to the 128-rounded budget (see KVCache.create)
+    kv_ctx = min(T, -(-limit // 128) * 128)
     eot = cfg.eot
 
     def filt(logits, state):
@@ -104,9 +108,9 @@ def _beam_from_kv(
     if self_kv_quant:
         from .models.model import QKVCache
 
-        kv = QKVCache.create(cfg, B)
+        kv = QKVCache.create(cfg, B, ctx=kv_ctx)
     else:
-        kv = KVCache.create(cfg, B, dtype=compute_dtype)
+        kv = KVCache.create(cfg, B, dtype=compute_dtype, ctx=kv_ctx)
     cache_cls = type(kv)
     logits, kv = decoder_forward(params, prompt, 0, kv, cross_kv, cfg,
                                  compute_dtype, pad=prompt_pad)

@@ -95,6 +95,11 @@ def _greedy_from_kv(
     P = prompt_len or prompt.shape[1]
     T = cfg.n_text_ctx
     limit = min(T, P + max_tokens) if max_tokens else T
+    # the loop never writes or attends past `limit` (static), so the KV cache
+    # position axis shrinks to the 128-rounded budget: every decode step then
+    # streams only the reachable prefix of the self-KV (3.5x less at the
+    # flagship turbo-B64 64-token config)
+    kv_ctx = min(T, -(-limit // 128) * 128)
     eot = cfg.eot
     use_rules = apply_filters or timestamps or suppress_ids is not None
 
@@ -107,9 +112,9 @@ def _greedy_from_kv(
     if self_kv_quant:
         from .models.model import QKVCache
 
-        kv = QKVCache.create(cfg, B)
+        kv = QKVCache.create(cfg, B, ctx=kv_ctx)
     else:
-        kv = KVCache.create(cfg, B, dtype=compute_dtype)
+        kv = KVCache.create(cfg, B, dtype=compute_dtype, ctx=kv_ctx)
     cache_cls = type(kv)
 
     tokens = jnp.full((B, T), eot, jnp.int32)
@@ -327,7 +332,7 @@ def detect_language(
 
 def _detect_language_from_kv(params, cross_kv, cfg, compute_dtype):
     B = cross_kv[0].shape[1]  # every leaf is (L, B, ...)
-    kv = KVCache.create(cfg, B, dtype=compute_dtype)
+    kv = KVCache.create(cfg, B, dtype=compute_dtype, ctx=128)  # one step used
     sot = jnp.full((B, 1), cfg.sot, jnp.int32)
     logits, _ = decoder_forward(params, sot, 0, kv, cross_kv, cfg, compute_dtype)
     lang_logits = jax.lax.dynamic_slice_in_dim(

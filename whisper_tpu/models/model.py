@@ -340,9 +340,15 @@ class KVCache(NamedTuple):
     v: jnp.ndarray
 
     @classmethod
-    def create(cls, cfg: WhisperConfig, batch: int, dtype=jnp.float32) -> "KVCache":
+    def create(cls, cfg: WhisperConfig, batch: int, dtype=jnp.float32,
+               ctx: Optional[int] = None) -> "KVCache":
+        """``ctx`` caps the cache's position axis (defaults to n_text_ctx).
+        Decodes with a static token budget pass the 128-rounded budget so
+        every step streams only the reachable cache prefix — at the flagship
+        config (turbo B64, 64 tokens) that is 128 of 448 positions, 3.5x less
+        self-KV HBM read per step."""
         shape = (cfg.n_text_layer, batch, cfg.n_text_head, cfg.head_dim_text,
-                 cfg.n_text_ctx)
+                 ctx or cfg.n_text_ctx)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -363,9 +369,10 @@ class QKVCache(NamedTuple):
     s: jnp.ndarray
 
     @classmethod
-    def create(cls, cfg: WhisperConfig, batch: int) -> "QKVCache":
-        L, H, T, dh = (cfg.n_text_layer, cfg.n_text_head, cfg.n_text_ctx,
-                       cfg.head_dim_text)
+    def create(cls, cfg: WhisperConfig, batch: int,
+               ctx: Optional[int] = None) -> "QKVCache":
+        L, H, dh = cfg.n_text_layer, cfg.n_text_head, cfg.head_dim_text
+        T = ctx or cfg.n_text_ctx  # see KVCache.create on bucketed ctx
         return cls(jnp.zeros((L, batch, H, 2, dh, T), jnp.int8),
                    jnp.ones((L, batch, H, 2, T), jnp.float32))
 
@@ -492,7 +499,7 @@ def decoder_forward(
     dec = params["decoder"]
     dt = compute_dtype
     B, S = tokens.shape
-    T = cfg.n_text_ctx
+    T = kv[0].shape[-1]  # cache position axis; may be bucketed < n_text_ctx
     n_head = cfg.n_text_head
 
     tok_emb = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dt)  # (B, S, D)
@@ -617,7 +624,7 @@ def decoder_step_multipos(
     dec = params["decoder"]
     dt = compute_dtype
     B = tokens.shape[0]
-    T = cfg.n_text_ctx
+    T = kv[0].shape[-1]  # cache position axis; may be bucketed < n_text_ctx
     n_head = cfg.n_text_head
     barange = jnp.arange(B)
 

@@ -162,15 +162,22 @@ class ContinuousBatchingEngine:
         L, D = cfg.n_text_layer, cfg.n_text_state
         Ta = cfg.n_audio_ctx
         B = max_slots
+        # bucketed slot cache: engine prompts are sot sequences (<= 4 tokens),
+        # so a configured max_tokens statically bounds every cache write —
+        # each decode step then streams only the reachable prefix of the
+        # self-KV instead of all n_text_ctx positions (see KVCache.create)
+        self.kv_ctx = (min(T, -(-(4 + max_tokens) // 128) * 128)
+                       if max_tokens else T)
         # device-resident slot state
         if self_kv_quant:
             from ..models.model import QKVCache
 
             self._cache_cls = QKVCache
-            self.kv = QKVCache.create(cfg, B)
+            self.kv = QKVCache.create(cfg, B, ctx=self.kv_ctx)
         else:
             self._cache_cls = KVCache
-            self.kv = KVCache.create(cfg, B, dtype=compute_dtype)
+            self.kv = KVCache.create(cfg, B, dtype=compute_dtype,
+                                     ctx=self.kv_ctx)
         H, dh = cfg.n_text_head, cfg.head_dim_text
         # cross-attention state as a tuple of parts: (k, v) in compute dtype,
         # or int8 payloads + fp32 scales when kv_quant is on (transposed
@@ -345,7 +352,7 @@ class ContinuousBatchingEngine:
 
         def detect(params, cross):
             B = cross[0].shape[1]
-            kv = KVCache.create(cfg, B, dtype=dt)
+            kv = KVCache.create(cfg, B, dtype=dt, ctx=128)  # one step used
             sot = jnp.full((B, 1), cfg.sot, jnp.int32)
             logits, _ = decoder_forward(params, sot, 0, kv, cross, cfg, dt)
             lang_logits = jax.lax.dynamic_slice_in_dim(
@@ -363,10 +370,13 @@ class ContinuousBatchingEngine:
         cache_cls = self._cache_cls
 
         def prefill(params, cross, prompt):
+            # same bucketed ctx as the slot cache — _admit_fn scatters this
+            # cache into it, so the trailing (position) axes must match
             if cache_cls is KVCache:
-                kv = KVCache.create(cfg, prompt.shape[0], dtype=dt)
+                kv = KVCache.create(cfg, prompt.shape[0], dtype=dt,
+                                    ctx=self.kv_ctx)
             else:
-                kv = cache_cls.create(cfg, prompt.shape[0])
+                kv = cache_cls.create(cfg, prompt.shape[0], ctx=self.kv_ctx)
             logits, kv = decoder_forward(params, prompt, 0, kv, cross, cfg, dt)
             kvk, kvv = kv[0], kv[1]
             if shard is not None:
@@ -528,6 +538,7 @@ class ContinuousBatchingEngine:
         lim = self.cfg.n_text_ctx
         if self.max_tokens:
             lim = min(lim, P + self.max_tokens)
+        lim = min(lim, self.kv_ctx)  # never write past the bucketed cache
 
         (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
          kv_k, kv_v, self.cross) = self._admit_fn(
