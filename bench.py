@@ -73,8 +73,11 @@ def estimate_flops(cfg, batch: int, prompt_len: int, n_new: int) -> float:
         attn = 4 * B * S * ctx * D + 4 * B * S * Ta * D
         return (proj + attn) * Lt + 2 * B * S * D * V     # + logits
 
-    prefill = dec_positions(prompt_len, T)
-    decode = n_new * dec_positions(1, T)
+    # the decode loop's self-KV cache is bucketed to the 128-rounded token
+    # budget (models.model.KVCache.create), so attention spans that, not T
+    kv_ctx = min(T, -(-(prompt_len + n_new) // 128) * 128)
+    prefill = dec_positions(prompt_len, kv_ctx)
+    decode = n_new * dec_positions(1, kv_ctx)
     mel = 2 * B * frames * cfg.n_fft * (cfg.n_fft + 2)    # DFT-as-matmul
     return float(enc + cross_kv + prefill + decode + mel)
 
