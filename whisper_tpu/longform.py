@@ -152,8 +152,12 @@ def transcribe_seek(pipe, waves, language: str):
         if condition or initial:
             for j, i in enumerate(live):
                 # OpenAI semantics: initial_prompt seeds the context history
-                # and fades out as real transcript accumulates
-                parts = ([initial] if initial else []) + (texts[i] if condition else [])
+                # and fades out as real transcript accumulates. With
+                # condition off there is no sliding context, so the seed
+                # applies to the FIRST window only (whisper/transcribe.py
+                # seeds once; re-injecting it every window over-primes).
+                seed = initial if (condition or not texts[i]) else ""
+                parts = ([seed] if seed else []) + (texts[i] if condition else [])
                 prev = " ".join(parts).strip()
                 if prev:
                     prev_tok[j] = pipe.tokenizer.encode(" " + prev)[-max_prev:]

@@ -431,22 +431,26 @@ def _fused_qkv(h: jnp.ndarray, pa: Params, dt):
     return q, k, v
 
 
-def _use_fused_qkv() -> bool:
-    import os
+# Process-start-only knobs: resolved ONCE at import. They are read at trace
+# time inside jitted callers but are not part of any jit cache key, so a
+# mid-process toggle would silently not apply to already-compiled configs —
+# freezing them at import makes that contract explicit (ADVICE round 2).
+import os as _os
 
-    return os.environ.get("WHISPER_TPU_FUSED_QKV", "0") == "1"
+_FUSED_QKV = _os.environ.get("WHISPER_TPU_FUSED_QKV", "0") == "1"
+# Decoder layer-scan unroll factor (default 1). Turbo has only 4 decoder
+# layers; unrolling lets XLA overlap HBM streams across layer boundaries in
+# the latency-bound decode step at the cost of a bigger program (longer
+# compiles through the axon tunnel).
+_DECODE_UNROLL = int(_os.environ.get("WHISPER_TPU_DECODE_UNROLL", "1"))
+
+
+def _use_fused_qkv() -> bool:
+    return _FUSED_QKV
 
 
 def _decode_unroll() -> int:
-    """Decoder layer-scan unroll factor (WHISPER_TPU_DECODE_UNROLL, default 1).
-
-    Turbo has only 4 decoder layers; unrolling lets XLA overlap HBM streams
-    across layer boundaries in the latency-bound decode step at the cost of
-    a bigger program (longer compiles through the axon tunnel).
-    """
-    import os
-
-    return int(os.environ.get("WHISPER_TPU_DECODE_UNROLL", "1"))
+    return _DECODE_UNROLL
 
 
 def _logits(x: jnp.ndarray, dec: Params, dt) -> jnp.ndarray:

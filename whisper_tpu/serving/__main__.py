@@ -64,10 +64,13 @@ def _run_dp(args) -> int:
             if getattr(args, flag):
                 cmd.append(f"--{flag}")
         env = dict(os.environ)
-        if args.tp == 1:
-            # pin one chip per replica (harmless on the CPU backend)
-            env.setdefault("TPU_VISIBLE_CHIPS", str(i))
-            env.setdefault("TPU_VISIBLE_DEVICES", str(i))
+        # pin a disjoint chip slice per replica (harmless on the CPU
+        # backend): replica i owns chips [i*tp, (i+1)*tp). Without this,
+        # dp>1 workers with tp>1 would all initialize the same chips and
+        # double-book devices (ADVICE round 2).
+        chips = ",".join(str(i * args.tp + j) for j in range(args.tp))
+        env.setdefault("TPU_VISIBLE_CHIPS", chips)
+        env.setdefault("TPU_VISIBLE_DEVICES", chips)
         workers.append(subprocess.Popen(cmd, env=env))
 
     urls = [f"http://127.0.0.1:{p}" for p in ports]

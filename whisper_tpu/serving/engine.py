@@ -595,14 +595,19 @@ class ContinuousBatchingEngine:
             self.stats.requests_total += 1
             self.stats.tokens_total += int(len(ids))
             self.stats.audio_seconds_total += audio_s
-            req.future.set_result({
-                "success": True,
-                "text": text,
-                "language": req.language,
-                "audio_seconds": audio_s,
-                "wall_seconds": wall,
-                "rtf": wall / max(audio_s, 1e-9),
-            })
+            # guard: a client cancel() between _expire_slots and here makes
+            # the future done — an unguarded set_result would raise
+            # InvalidStateError, and the run-loop catch-all would fail every
+            # in-flight request (ADVICE round 2). Free the slot either way.
+            if not req.future.done():
+                req.future.set_result({
+                    "success": True,
+                    "text": text,
+                    "language": req.language,
+                    "audio_seconds": audio_s,
+                    "wall_seconds": wall,
+                    "rtf": wall / max(audio_s, 1e-9),
+                })
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
         # deactivate harvested slots

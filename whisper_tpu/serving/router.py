@@ -40,6 +40,7 @@ class Backend:
     in_flight: int = 0
     requests_total: int = 0
     errors_total: int = 0
+    busy_total: int = 0  # 503 backpressure replies (busy, not dead)
     down_until: float = 0.0
     lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
@@ -89,10 +90,13 @@ class Router:
         ``release``. Raises ConnectionError when every backend is down/full.
         """
         tried: set = set()
+        any_busy = False
         while True:
             b = self.pick(exclude=tried)
             if b is None:
-                raise ConnectionError("no healthy backend available")
+                raise ConnectionError(
+                    "all backends busy (503 backpressure)" if any_busy
+                    else "no healthy backend available")
             tried.add(id(b))
             host, port = b.hostport
             with b.lock:
@@ -116,8 +120,13 @@ class Router:
                 self.release(b, conn, error=True)
                 continue
             if resp.status == 503:  # engine backpressure: spill to the next
+                # busy != dead: no cooldown/mark_down, or uniform saturation
+                # would report 'no healthy backend' for cooldown_s instead of
+                # busy (ADVICE round 2). `tried` already skips it this request.
                 resp.read()
-                self.release(b, conn, error=True)
+                b.busy_total += 1
+                any_busy = True
+                self.release(b, conn)
                 continue
             b.requests_total += 1
             return b, resp, conn
@@ -168,6 +177,7 @@ class Router:
         for b in self.backends:
             row = {"url": b.url, "router_requests": b.requests_total,
                    "router_errors": b.errors_total,
+                   "router_busy": b.busy_total,
                    "in_flight": b.in_flight}
             try:
                 _, m = self._get_json(b, "/metrics")
