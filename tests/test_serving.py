@@ -494,3 +494,85 @@ def test_engine_cancellation(nano_params, rng):
         assert fv.cancelled() or fv.done()
     finally:
         eng.stop()
+
+
+def test_engine_quality_fields_and_silence_gate(nano_params, rng):
+    """Harvest computes no_speech_prob / avg_logprob / compression_ratio and
+    applies the silence gate (longform.silence_mask semantics) in-engine —
+    the reference carries the no_speech id but never uses it
+    (model_convert/export_onnx.py:602-629)."""
+    # threshold 0.0: any nsp > 0 counts as silence; logprob_threshold=None so
+    # confidence can't override — the text must be gated to ""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False,
+        no_speech_threshold=0.0, logprob_threshold=None,
+        compression_ratio_threshold=None).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.4), language="zh", timeout=60)
+        assert res["text"] == ""
+        assert res["no_speech_prob"] > 0.0
+        assert "avg_logprob" in res and "compression_ratio" in res
+        assert eng.stats.no_speech_total == 1
+    finally:
+        eng.stop()
+
+    # gates off: same audio keeps its text; random-weight avg_logprob is very
+    # low, so a logprob_threshold flags quality_ok=False without blanking
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False,
+        no_speech_threshold=None, logprob_threshold=-0.0001).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.4), language="zh", timeout=60)
+        assert res["avg_logprob"] < -0.0001
+        assert res["quality_ok"] is False
+        assert eng.stats.no_speech_total == 0
+        assert eng.stats.low_quality_total == 1
+    finally:
+        eng.stop()
+
+
+def test_engine_admission_chunking(nano_params, rng):
+    """With active slots, _admit_new admits at most admit_chunk newcomers per
+    sync round (bounded head-of-line stall); an idle engine admits the full
+    free set in one bucketed batch."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=1, max_tokens=6, apply_filters=False, admit_chunk=1)
+    # not started: drive the admission path by hand for determinism
+    batches = []
+    orig = eng._admit_batch
+
+    def spy(newcomers):
+        batches.append(len(newcomers))
+        return orig(newcomers)
+
+    eng._admit_batch = spy
+    # idle: 3 submissions admit as ONE batch
+    for _ in range(3):
+        eng.submit(Request(audio=_audio(rng, 0.2), language="zh"))
+    eng._admit_new()
+    assert batches == [3]
+    # active slots present: the 4th waits, then admits alone (chunk=1)
+    eng.submit(Request(audio=_audio(rng, 0.2), language="zh"))
+    eng._admit_new()
+    assert batches == [3, 1]
+
+
+def test_engine_auto_language_immutable_request(nano_params, rng):
+    """Detection must not mutate Request.language (a retried request keeps
+    'auto'); the resolved code is exposed via the result dict."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False).start()
+    try:
+        req = Request(audio=_audio(rng, 0.5), language="auto")
+        res = eng.submit(req).result(timeout=60)
+        from whisper_tpu.tokenizer import LANGUAGES
+
+        assert req.language == "auto"
+        assert res["language"] in LANGUAGES
+        assert req.language_resolved == res["language"]
+    finally:
+        eng.stop()

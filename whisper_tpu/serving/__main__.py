@@ -60,6 +60,12 @@ def _run_dp(args) -> int:
             cmd += ["--checkpoint", args.checkpoint]
         if args.max_tokens:
             cmd += ["--max_tokens", str(args.max_tokens)]
+        cmd += ["--no_speech_threshold", str(args.no_speech_threshold),
+                "--logprob_threshold", str(args.logprob_threshold),
+                "--compression_ratio_threshold",
+                str(args.compression_ratio_threshold)]
+        if args.admit_chunk:
+            cmd += ["--admit_chunk", str(args.admit_chunk)]
         for flag in ("timestamps", "kv_quant", "self_kv_quant"):
             if getattr(args, flag):
                 cmd.append(f"--{flag}")
@@ -137,6 +143,17 @@ def main(argv=None) -> int:
                         "(one engine per host for multi-host serving)")
     p.add_argument("--worker_startup_timeout", type=float, default=300.0)
     p.add_argument("--timeout", type=float, default=300.0)
+    p.add_argument("--no_speech_threshold", type=float, default=0.6,
+                   help="silence gate: P(<|nospeech|>) above this (and not "
+                        "confident) returns '' (-1 disables)")
+    p.add_argument("--logprob_threshold", type=float, default=-1.0,
+                   help="avg-logprob quality floor (-1e9 disables)")
+    p.add_argument("--compression_ratio_threshold", type=float, default=2.4,
+                   help="flag repetitive output above this gzip ratio")
+    p.add_argument("--admit_chunk", type=int, default=None,
+                   help="max newcomers encoded per sync round while slots "
+                        "are active (default slots/4); bounds the decode "
+                        "stall one admission can cause")
     args = p.parse_args(argv)
 
     if args.backends:
@@ -179,6 +196,14 @@ def main(argv=None) -> int:
         kv_quant=args.kv_quant,
         self_kv_quant=args.self_kv_quant,
         mesh=mesh,
+        no_speech_threshold=(None if args.no_speech_threshold < 0
+                             else args.no_speech_threshold),
+        logprob_threshold=(None if args.logprob_threshold <= -1e9
+                           else args.logprob_threshold),
+        compression_ratio_threshold=(None
+                                     if args.compression_ratio_threshold < 0
+                                     else args.compression_ratio_threshold),
+        admit_chunk=args.admit_chunk,
     ).start()
 
     srv = make_server(engine, args.host, args.port, request_timeout_s=args.timeout)

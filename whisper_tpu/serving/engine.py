@@ -57,6 +57,13 @@ class Request:
     # Expired requests fail with TimeoutError and their slot is freed —
     # HTTP-level timeouts alone leave the slot decoding for a dead client.
     deadline_s: Optional[float] = None
+    # "auto" requests keep language="auto" (a failed/retried request must not
+    # lose it); the detected code lands here. The detection result stays on
+    # device until harvest: _lang_holder is a dict shared by the admission
+    # batch ({"idx": device (Bn,) array}), resolved host-side once per batch.
+    language_resolved: Optional[str] = None
+    _lang_holder: Optional[dict] = None
+    _lang_row: int = 0
 
     def expired(self, now: Optional[float] = None) -> bool:
         if self.deadline_s is None:
@@ -77,6 +84,9 @@ class EngineStats:
     busy_seconds_total: float = 0.0
     queue_depth: int = 0
     active_slots: int = 0
+    # quality gates (harvest-time, OpenAI transcribe semantics)
+    no_speech_total: int = 0      # requests gated to "" by the silence rule
+    low_quality_total: int = 0    # compression-ratio / logprob criteria failed
 
     def snapshot(self) -> dict:
         d = dict(self.__dict__)
@@ -116,6 +126,10 @@ class ContinuousBatchingEngine:
         kv_quant: bool = False,
         self_kv_quant: bool = False,
         mesh=None,
+        no_speech_threshold: Optional[float] = 0.6,
+        logprob_threshold: Optional[float] = -1.0,
+        compression_ratio_threshold: Optional[float] = 2.4,
+        admit_chunk: Optional[int] = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -129,6 +143,16 @@ class ContinuousBatchingEngine:
         self.kv_quant = kv_quant
         self.self_kv_quant = self_kv_quant
         self.mesh = mesh
+        # quality gates (same defaults as pipeline.Pipeline / OpenAI transcribe)
+        self.no_speech_threshold = no_speech_threshold
+        self.logprob_threshold = logprob_threshold
+        self.compression_ratio_threshold = compression_ratio_threshold
+        # admission head-of-line bound: when slots are ACTIVE, at most this
+        # many newcomers encode+prefill per sync round, so in-flight decodes
+        # stall at most one small-bucket encoder pass per round instead of a
+        # full-batch one. An idle engine admits whole buckets (best encoder
+        # efficiency, nobody to stall).
+        self.admit_chunk = admit_chunk or max(1, max_slots // 4)
 
         from ..models.model import cast_floating
 
@@ -200,6 +224,11 @@ class ContinuousBatchingEngine:
         self.done = jnp.zeros((B,), bool)
         self.rs = RuleState.create(B)
         self.limit = jnp.full((B,), T, jnp.int32)
+        # per-slot quality state: fstate = [sum_logprob, n_sampled] (fp32,
+        # accumulated in the decode loop), nsp = P(<|nospeech|>) at the sot
+        # position from prefill — both read host-side only at harvest
+        self.fstate = jnp.zeros((B, 2), jnp.float32)
+        self.nsp = jnp.zeros((B,), jnp.float32)
 
         if mesh is not None:
             self.kv = self._cache_cls(
@@ -212,6 +241,8 @@ class ContinuousBatchingEngine:
             self.done = jax.device_put(self.done, rep)
             self.rs = RuleState(*(jax.device_put(x, rep) for x in self.rs))
             self.limit = jax.device_put(self.limit, rep)
+            self.fstate = jax.device_put(self.fstate, rep)
+            self.nsp = jax.device_put(self.nsp, rep)
 
         # host-side slot bookkeeping
         self._slot_req: List[Optional[Request]] = [None] * B
@@ -277,18 +308,24 @@ class ContinuousBatchingEngine:
         cache_cls = self._cache_cls
         use_rules = self.apply_filters or timestamps or suppress is not None
 
-        def steps(params, tokens, offsets, active, done, limit, rs,
+        def steps(params, tokens, offsets, active, done, limit, rs, fstate,
                   kv_k, kv_v, cross, n_steps):
             # the AOT TPU compiler's loop cost explodes with carry arity —
-            # pack all small per-slot state into one (B, 6) i32 array:
-            # [offset, done, rs.last, rs.penult, rs.max_ts, rs.n_sampled]
-            st = jnp.stack([offsets, done.astype(jnp.int32),
-                            rs.last, rs.penult, rs.max_ts, rs.n_sampled], axis=1)
+            # pack all small per-slot state into one (B, 8) i32 array:
+            # [offset, done, rs.last, rs.penult, rs.max_ts, rs.n_sampled,
+            #  bitcast(sum_logprob), bitcast(n_lp)] — the two fp32 quality
+            # accumulators ride as raw bits so the scan carry stays 4 leaves
+            st = jnp.concatenate([
+                jnp.stack([offsets, done.astype(jnp.int32),
+                           rs.last, rs.penult, rs.max_ts, rs.n_sampled], axis=1),
+                jax.lax.bitcast_convert_type(fstate, jnp.int32),
+            ], axis=1)
 
             def one(carry, _):
                 tokens, st, kv_k, kv_v = carry
                 offsets, done = st[:, 0], st[:, 1] > 0
                 rs = RuleState(st[:, 2], st[:, 3], st[:, 4], st[:, 5])
+                fstate = jax.lax.bitcast_convert_type(st[:, 6:8], jnp.float32)
                 # clamp: empty slots sit at offset 0; -1 would wrap to T-1
                 pos = jnp.maximum(offsets - 1, 0)
                 cur = jnp.take_along_axis(tokens, pos[:, None], axis=1)[:, 0]
@@ -298,8 +335,17 @@ class ContinuousBatchingEngine:
                 if use_rules:
                     logits = apply_rules(logits, rs, cfg, suppress_ids=suppress,
                                          timestamps=timestamps)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 step_ok = active & ~done
+                # quality: accumulate the sampled token's logprob under the
+                # filtered distribution (decode.py:136-142 semantics; the
+                # step emitting eot counts, later padding steps don't)
+                tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=1)[:, 0]
+                fstate = jnp.stack([
+                    fstate[:, 0] + jnp.where(step_ok, tok_lp, 0.0),
+                    fstate[:, 1] + step_ok.astype(jnp.float32),
+                ], axis=1)
                 nxt = jnp.where(step_ok, nxt, cfg.eot)
                 rs = RuleState(*[jnp.where(step_ok, n, o) for n, o in
                                  zip(rs.advance(nxt, cfg.timestamp_begin), rs)])
@@ -309,16 +355,20 @@ class ContinuousBatchingEngine:
                     nxt[:, None], tokens)
                 new_done = done | (step_ok & ((nxt == cfg.eot) | (offsets + 1 >= limit)))
                 offsets = jnp.where(step_ok, offsets + 1, offsets)
-                st = jnp.stack([offsets, new_done.astype(jnp.int32),
-                                rs.last, rs.penult, rs.max_ts, rs.n_sampled], axis=1)
+                st = jnp.concatenate([
+                    jnp.stack([offsets, new_done.astype(jnp.int32),
+                               rs.last, rs.penult, rs.max_ts, rs.n_sampled], axis=1),
+                    jax.lax.bitcast_convert_type(fstate, jnp.int32),
+                ], axis=1)
                 return (tokens, st, kv[0], kv[1]), None
 
             (tokens, st, kv_k, kv_v), _ = jax.lax.scan(
                 one, (tokens, st, kv_k, kv_v), None, length=n_steps)
             rs = RuleState(st[:, 2], st[:, 3], st[:, 4], st[:, 5])
-            return tokens, st[:, 0], st[:, 1] > 0, rs, kv_k, kv_v
+            fstate = jax.lax.bitcast_convert_type(st[:, 6:8], jnp.float32)
+            return tokens, st[:, 0], st[:, 1] > 0, rs, fstate, kv_k, kv_v
 
-        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(1, 6, 7, 8))
+        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(1, 6, 7, 8, 9))
 
     @functools.cached_property
     def _encode_fn(self):
@@ -384,7 +434,11 @@ class ContinuousBatchingEngine:
                     kvk, self._head_sharding(kvk.ndim))
                 kvv = jax.lax.with_sharding_constraint(
                     kvv, self._head_sharding(kvv.ndim))
-            return logits[:, -1], kvk, kvv
+            # OpenAI-style no-speech probability: softmax at the sot position
+            # (index 0 of engine prompts), same as decode.py:126-128
+            nsp = jax.nn.softmax(
+                logits[:, 0].astype(jnp.float32), axis=-1)[:, cfg.no_speech]
+            return logits[:, -1], nsp, kvk, kvv
 
         return jax.jit(prefill)
 
@@ -393,8 +447,8 @@ class ContinuousBatchingEngine:
         """Scatter prefilled newcomer state into slots."""
 
         def admit(slot_idx, src_logits, src_kvk, src_kvv, src_cross,
-                  first_tok, prompt_len, lim,
-                  tokens, offsets, active, done, limit, rs,
+                  first_tok, first_lp, src_nsp, prompt_len, lim,
+                  tokens, offsets, active, done, limit, rs, fstate, nsp,
                   kv_k, kv_v, cross, prompt, n_valid):
             # slot_idx: (Bn,) target slots; entries >= B are padding (dropped)
             B = tokens.shape[0]
@@ -426,9 +480,16 @@ class ContinuousBatchingEngine:
                     mode="drop"),
                 n_sampled=rs.n_sampled.at[safe].set(1, mode="drop"),
             )
-            return tokens, offsets, active, done, limit, rs, kv_k, kv_v, cross
+            # quality state: sum_logprob starts at the prefill-sampled first
+            # token's logprob (decode.py:148-159 semantics)
+            fstate = fstate.at[safe].set(
+                jnp.stack([first_lp, jnp.ones_like(first_lp)], axis=1),
+                mode="drop")
+            nsp = nsp.at[safe].set(src_nsp, mode="drop")
+            return (tokens, offsets, active, done, limit, rs, fstate, nsp,
+                    kv_k, kv_v, cross)
 
-        return jax.jit(admit, donate_argnums=(8, 9, 10, 11, 12, 14, 15, 16))
+        return jax.jit(admit, donate_argnums=(10, 11, 12, 13, 14, 16, 17, 18, 19, 20))
 
     # ------------------------------------------------------------- worker loop
     def _free_slots(self) -> List[int]:
@@ -445,9 +506,18 @@ class ContinuousBatchingEngine:
     def _admit_new(self):
         self._drain_queue()
         free = self._free_slots()
+        # head-of-line bound: with active slots decoding, admit at most
+        # admit_chunk newcomers this round — the in-flight streams stall one
+        # small-bucket encoder pass instead of a full-batch one, and the rest
+        # of the pending queue is admitted on subsequent sync rounds
+        # (interleaved with decode steps). An idle engine admits whole
+        # buckets: best encoder efficiency, nobody to stall.
+        cap = len(free)
+        if any(r is not None for r in self._slot_req):
+            cap = min(cap, self.admit_chunk)
         newcomers: List[Request] = []
         now = time.perf_counter()
-        while self._pending and len(newcomers) < len(free):
+        while self._pending and len(newcomers) < cap:
             r = self._pending.popleft()  # strict FIFO: submit order = admit order
             if r.future.cancelled():
                 continue
@@ -503,34 +573,55 @@ class ContinuousBatchingEngine:
 
         src_cross = self._encode_fn(self.params, jnp.asarray(mel), jnp.asarray(lengths))
 
-        # resolve "auto" languages with one [sot] decode step over the batch
-        if any(r.language in (None, "auto") for r in newcomers):
-            from ..tokenizer import LANGUAGES
+        # "auto" language: one [sot] decode step over the batch, injected into
+        # the prompts ON DEVICE (no host sync here) — the detected code is
+        # resolved host-side only at harvest via the shared _lang_holder.
+        # req.language stays "auto" so a failed/retried request keeps it.
+        auto_rows = [i for i, r in enumerate(newcomers)
+                     if r.language in (None, "auto")]
+        if auto_rows and not self.cfg.is_multilingual:
+            for i in auto_rows:
+                newcomers[i].language_resolved = "en"
+            auto_rows = []
 
-            codes = list(LANGUAGES.keys())
-            lang_idx = np.asarray(self._detect_fn(self.params, src_cross))
-            for i, r in enumerate(newcomers):
-                if r.language in (None, "auto"):
-                    r.language = codes[int(lang_idx[i])]
+        def eff_lang(r: Request) -> str:
+            if not self.cfg.is_multilingual:
+                return "en"
+            # placeholder for auto rows; position 1 is overwritten on device
+            return "en" if r.language in (None, "auto") else r.language
 
-        P0 = len(self.cfg.sot_sequence("en" if not self.cfg.is_multilingual
-                                       else newcomers[0].language,
-                                       newcomers[0].task))
+        P0 = len(self.cfg.sot_sequence(eff_lang(newcomers[0]), newcomers[0].task))
         prompts = np.zeros((bucket, P0), np.int32)
         for i, r in enumerate(newcomers):
-            prompts[i] = list(self.cfg.sot_sequence(r.language, r.task))
+            prompts[i] = list(self.cfg.sot_sequence(eff_lang(r), r.task))
         if self.timestamps:
             prompts = prompts[:, :-1]
         P = prompts.shape[1]
         for i in range(n, bucket):
             prompts[i] = prompts[0]
 
-        logits, kvk, kvv = self._prefill_fn(self.params, src_cross, jnp.asarray(prompts))
+        prompts_dev = jnp.asarray(prompts)
+        if auto_rows:
+            lang_idx = self._detect_fn(self.params, src_cross)
+            holder = {"idx": lang_idx}
+            auto_mask = np.zeros((bucket,), bool)
+            auto_mask[auto_rows] = True
+            prompts_dev = prompts_dev.at[:, 1].set(jnp.where(
+                jnp.asarray(auto_mask),
+                self.cfg.lang_token_start + lang_idx.astype(jnp.int32),
+                prompts_dev[:, 1]))
+            for i in auto_rows:
+                newcomers[i]._lang_holder = holder
+                newcomers[i]._lang_row = i
+
+        logits, nsp, kvk, kvv = self._prefill_fn(self.params, src_cross, prompts_dev)
         rs0 = RuleState.create(bucket)
         if self.apply_filters or self.timestamps or self._suppress is not None:
             logits = apply_rules(logits, rs0, self.cfg, suppress_ids=self._suppress,
                                  timestamps=self.timestamps)
+        lp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        first_lp = jnp.take_along_axis(lp0, first[:, None], axis=1)[:, 0]
 
         slots = self._free_slots()[:n]
         slot_idx = np.full((bucket,), self.B, np.int32)
@@ -541,18 +632,41 @@ class ContinuousBatchingEngine:
         lim = min(lim, self.kv_ctx)  # never write past the bucketed cache
 
         (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
-         kv_k, kv_v, self.cross) = self._admit_fn(
+         self.fstate, self.nsp, kv_k, kv_v, self.cross) = self._admit_fn(
             jnp.asarray(slot_idx), logits, kvk, kvv, src_cross,
-            first, jnp.full((bucket,), P, jnp.int32), jnp.int32(lim),
+            first, first_lp, nsp, jnp.full((bucket,), P, jnp.int32), jnp.int32(lim),
             self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
+            self.fstate, self.nsp,
             self.kv[0], self.kv[1], self.cross,
-            jnp.asarray(prompts), jnp.int32(n))
+            prompts_dev, jnp.int32(n))
         self.kv = self._cache_cls(kv_k, kv_v)
 
         for i, r in zip(slots, newcomers):
             self._slot_req[i] = r
             self._slot_prompt_len[i] = P
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
+
+    def _effective_language(self, req: Request) -> str:
+        """Resolved language code: explicit > detected > placeholder. The
+        device→host read of the detection result happens here (harvest/partial
+        time), never on the admission path."""
+        if req.language not in (None, "auto"):
+            return req.language
+        if req.language_resolved is None and req._lang_holder is not None:
+            from ..tokenizer import LANGUAGES
+
+            codes = list(LANGUAGES.keys())[: self.cfg.num_languages]
+            idx = int(np.asarray(req._lang_holder["idx"])[req._lang_row])
+            req.language_resolved = codes[idx]
+        return req.language_resolved or "en"
+
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        # same metric as pipeline.Pipeline._compression_ratio / OpenAI
+        import zlib
+
+        b = text.encode("utf-8")
+        return len(b) / max(len(zlib.compress(b)), 1)
 
     def _emit_partials(self, tokens_h, offs_h, done_h):
         for i in range(self.B):
@@ -565,7 +679,7 @@ class ContinuousBatchingEngine:
             text = (self.tokenizer.decode_with_timestamps(ids)
                     if self.timestamps else self.tokenizer.decode(ids))
             try:
-                req.on_partial(postprocess(text, req.language))
+                req.on_partial(postprocess(text, self._effective_language(req)))
             except Exception:
                 req.on_partial = None  # dead consumer: stop streaming to it
 
@@ -580,6 +694,8 @@ class ContinuousBatchingEngine:
                  if active_h[i] and done_h[i] and self._slot_req[i] is not None]
         if not ready:
             return
+        fstate_h = np.asarray(self.fstate)
+        nsp_h = np.asarray(self.nsp)
         for i in ready:
             req = self._slot_req[i]
             P = self._slot_prompt_len[i]
@@ -589,7 +705,28 @@ class ContinuousBatchingEngine:
                 text = self.tokenizer.decode_with_timestamps(ids).strip()
             else:
                 text = self.tokenizer.decode(ids).strip()
-            text = postprocess(text, req.language)
+            lang = self._effective_language(req)
+            text = postprocess(text, lang)
+            # quality gates (longform.silence_mask / OpenAI transcribe
+            # semantics): silence unless the decode is confident anyway;
+            # compression/logprob failures are flagged, not retried — the
+            # engine has no temperature ladder (the offline pipeline does).
+            avg_lp = float(fstate_h[i, 0] / max(fstate_h[i, 1], 1.0))
+            nsp = float(nsp_h[i])
+            comp = self._compression_ratio(text)
+            quality_ok = True
+            if ((self.compression_ratio_threshold is not None
+                 and comp > self.compression_ratio_threshold)
+                    or (self.logprob_threshold is not None
+                        and avg_lp < self.logprob_threshold)):
+                quality_ok = False
+                self.stats.low_quality_total += 1
+            if (self.no_speech_threshold is not None
+                    and nsp > self.no_speech_threshold
+                    and not (self.logprob_threshold is not None
+                             and avg_lp > self.logprob_threshold)):
+                text = ""
+                self.stats.no_speech_total += 1
             wall = time.perf_counter() - req.enqueued_at
             audio_s = len(req.audio) / 16000.0
             self.stats.requests_total += 1
@@ -603,10 +740,14 @@ class ContinuousBatchingEngine:
                 req.future.set_result({
                     "success": True,
                     "text": text,
-                    "language": req.language,
+                    "language": lang,
                     "audio_seconds": audio_s,
                     "wall_seconds": wall,
                     "rtf": wall / max(audio_s, 1e-9),
+                    "no_speech_prob": nsp,
+                    "avg_logprob": avg_lp,
+                    "compression_ratio": comp,
+                    "quality_ok": quality_ok,
                 })
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
@@ -651,9 +792,11 @@ class ContinuousBatchingEngine:
                 self._expire_slots()
                 self._admit_new()
                 if any(r is not None for r in self._slot_req):
-                    (self.tokens, self.offsets, self.done, self.rs, kv_k, kv_v) = \
+                    (self.tokens, self.offsets, self.done, self.rs, self.fstate,
+                     kv_k, kv_v) = \
                         self._step_fn(self.params, self.tokens, self.offsets,
                                       self.active, self.done, self.limit, self.rs,
+                                      self.fstate,
                                       self.kv[0], self.kv[1], self.cross,
                                       self.steps_per_sync)
                     self.kv = self._cache_cls(kv_k, kv_v)
