@@ -23,6 +23,10 @@ Variants (cross/self KV quant spelled in the name; default bf16):
   no_logits     logits matmul replaced by a cheap sum   (ablation)
   pallas_cross      fused Pallas cross-attention decode kernel (int8 KV)
   pallas_cross_vpu  same kernel with VPU reductions instead of M=1 MXU dots
+  pallas_cross_fd   flash-decode kernel: T-tiled online softmax, VPU grouped
+                    reductions (round-3 candidate; t tile via
+                    WHISPER_TPU_FD_TILE, default 512)
+  pallas_cross_dense block-diagonal dense-Q MXU variant (pass-count probe)
 """
 
 from __future__ import annotations
@@ -81,8 +85,11 @@ def build_step(variant: str, cfg, dt):
     do_self = variant != "no_self"
     do_mlp = variant != "no_mlp"
     do_logits = variant != "no_logits"
-    pallas_cross = variant in ("pallas_cross", "pallas_cross_vpu")
+    pallas_cross = variant in ("pallas_cross", "pallas_cross_vpu",
+                               "pallas_cross_fd", "pallas_cross_dense")
     pallas_vpu = variant == "pallas_cross_vpu"
+    pallas_kind = variant.replace("pallas_cross_", "").replace(
+        "pallas_cross", "legacy")
 
     def step(params, tokens, offset, kcache, vcache, cross_kv):
         dec = params["decoder"]
@@ -135,13 +142,21 @@ def build_step(variant: str, cfg, dt):
                 h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
                 q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
                 if pallas_cross:
-                    from whisper_tpu.ops.decode_attention import (
-                        cross_attention_decode,
-                    )
+                    from whisper_tpu.ops import decode_attention as da
 
-                    o = cross_attention_decode(
-                        _split_heads(q, n_head), cross[0], cross[1],
-                        cross[2], cross[3], use_vpu=pallas_vpu)
+                    if pallas_kind == "fd":
+                        tt = int(os.environ.get("WHISPER_TPU_FD_TILE", "512"))
+                        o = da.cross_attention_decode_fd(
+                            _split_heads(q, n_head), cross[0], cross[1],
+                            cross[2], cross[3], t_tile=tt)
+                    elif pallas_kind == "dense":
+                        o = da.cross_attention_decode_dense(
+                            _split_heads(q, n_head), cross[0], cross[1],
+                            cross[2], cross[3])
+                    else:
+                        o = da.cross_attention_decode(
+                            _split_heads(q, n_head), cross[0], cross[1],
+                            cross[2], cross[3], use_vpu=pallas_vpu)
                 elif kv_quant:
                     o = attention_int8kv(_split_heads(q, n_head), cross[0],
                                          cross[1], cross[2], cross[3])
@@ -221,7 +236,8 @@ def main() -> int:
     cv = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cross_quant = args.variant in ("full_xq", "full_xq_sq", "int8w",
                                    "int8w_lq", "full_xq_sq_lq", "model_fwd",
-                                   "pallas_cross", "pallas_cross_vpu")
+                                   "pallas_cross", "pallas_cross_vpu",
+                                   "pallas_cross_fd", "pallas_cross_dense")
     if cross_quant:
         cross_kv = tuple(jax.device_put(t) for t in quantize_cross_kv((ck, cv)))
     else:
@@ -229,7 +245,8 @@ def main() -> int:
     del ck, cv
 
     self_quant = args.variant in ("full_sq", "full_xq_sq", "int8w",
-                                  "int8w_lq", "full_xq_sq_lq", "model_fwd")
+                                  "int8w_lq", "full_xq_sq_lq", "model_fwd",
+                                  "pallas_cross_fd", "pallas_cross_dense")
     if self_quant:
         kv = QKVCache.create(cfg, B)
     else:

@@ -171,3 +171,61 @@ def test_flash_attention_btd_matches_reference(rng):
     got = np.asarray(flash_attention_btd(q, k, v, H, interpret=True, q_tile=64))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_cross_attention_decode_fd_matches_int8kv(rng):
+    """Flash-decode kernel (tiled online softmax, ragged last tile) must
+    match the XLA int8-KV attention."""
+    from whisper_tpu.models.model import attention_int8kv, quantize_cross_kv
+    from whisper_tpu.ops.decode_attention import cross_attention_decode_fd
+
+    B, H, T, dh = 2, 3, 300, 64  # T=300 with t_tile=128 -> ragged tail of 44
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
+    ck = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    k_q, k_s, v_q, v_s = quantize_cross_kv((ck, cv))
+    args = (q, k_q[0], k_s[0], v_q[0], v_s[0])
+    ref = np.asarray(attention_int8kv(*args))
+    got = np.asarray(cross_attention_decode_fd(*args, interpret=True,
+                                               t_tile=128))
+    assert got.shape == ref.shape == (B, H, 1, dh)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_cross_attention_decode_fd_bf16(rng):
+    from whisper_tpu.models.model import attention_int8kv, quantize_cross_kv
+    from whisper_tpu.ops.decode_attention import cross_attention_decode_fd
+
+    B, H, T, dh = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ck = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    k_q, k_s, v_q, v_s = quantize_cross_kv((ck, cv))
+    args = (q, k_q[0], k_s[0], v_q[0], v_s[0])
+    ref = np.asarray(attention_int8kv(*args)).astype(np.float32)
+    got = np.asarray(cross_attention_decode_fd(*args, interpret=True,
+                                               t_tile=128)).astype(np.float32)
+    assert got.dtype == ref.dtype
+    denom = np.maximum(np.abs(ref), 1e-1)
+    assert np.median(np.abs(got - ref) / denom) < 0.05
+
+
+def test_cross_attention_decode_dense_matches_int8kv(rng):
+    """Block-diagonal dense-Q MXU variant must extract each head's own
+    column (no cross-head leakage) and match the XLA path."""
+    from whisper_tpu.models.model import attention_int8kv, quantize_cross_kv
+    from whisper_tpu.ops.decode_attention import cross_attention_decode_dense
+
+    B, H, T, dh = 2, 3, 300, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)).astype(np.float32))
+    ck = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    cv = jnp.asarray(rng.standard_normal((1, B, H, T, dh)).astype(np.float32))
+    k_q, k_s, v_q, v_s = quantize_cross_kv((ck, cv))
+    args = (q, k_q[0], k_s[0], v_q[0], v_s[0])
+    ref = np.asarray(attention_int8kv(*args)).astype(np.float32)
+    got = np.asarray(cross_attention_decode_dense(*args, interpret=True)
+                     ).astype(np.float32)
+    assert got.shape == ref.shape
+    denom = np.maximum(np.abs(ref), 1e-1)
+    assert np.median(np.abs(got - ref) / denom) < 0.05

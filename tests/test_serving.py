@@ -576,3 +576,42 @@ def test_engine_auto_language_immutable_request(nano_params, rng):
         assert req.language_resolved == res["language"]
     finally:
         eng.stop()
+
+
+def test_engine_longform_split_and_merge(nano_params, rng):
+    """A >30 s request is split into overlapping windows at submit and the
+    parent future resolves with the merged transcript — the reference
+    silently truncates at 30 s instead (python/whisper.py:148-152)."""
+    from whisper_tpu.longform import merge_texts, split_audio
+
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=8, apply_filters=False,
+        longform_overlap_s=2.0).start()
+    try:
+        wav = _audio(rng, 75.0)  # 3 windows at 28 s step
+        res = eng.transcribe(wav, language="zh", timeout=300)
+        assert res["success"]
+        assert res["windows"] == 3
+        assert res["audio_seconds"] == pytest.approx(75.0)
+
+        # the merged text must equal merging the per-window results
+        waves, _ = split_audio(wav, N_SAMPLES, eng.longform_overlap)
+        parts = [eng.transcribe(w, language="zh", timeout=120)["text"]
+                 for w in waves]
+        assert res["text"] == merge_texts(parts, "zh")
+    finally:
+        eng.stop()
+
+
+def test_http_asr_long_audio(http_server, rng):
+    """HTTP POST of a >30 s clip returns the full (non-truncated) result."""
+    url = http_server
+    wav = _audio(rng, 65.0)
+    req = urllib.request.Request(
+        f"{url}/asr", data=wav.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    res = json.loads(urllib.request.urlopen(req, timeout=300).read())
+    assert res["success"]
+    assert res["audio_seconds"] == pytest.approx(65.0)
+    assert res["windows"] == 3

@@ -315,17 +315,31 @@ def attention_int8kv(
     return (out.astype(jnp.float32) * v_s).astype(dt)  # fold V scales out
 
 
-def _use_decode_flash() -> bool:
-    """Gate for the fused Pallas cross-attention decode kernel
-    (ops.decode_attention), WHISPER_TPU_DECODE_FLASH=1 to enable.
+def _use_decode_flash():
+    """Gate for the fused Pallas cross-attention decode kernels
+    (ops.decode_attention). WHISPER_TPU_DECODE_FLASH selects the kernel:
 
-    Default OFF: with the transposed (position-minor) int8 KV layout, XLA's
-    own lowering reaches 5.0 ms/step on turbo B64 while the Pallas kernel
-    measured 7.4 (head-batched grid) — the kernel is kept as the measured
-    baseline for future decode-fusion work (BENCH_NOTES.md)."""
-    import os
+      0 (default)  XLA lowering of attention_int8kv
+      1 / legacy   round-2 head-batched kernel (measured 7.4 ms, kept as
+                   the baseline for kernel work — BENCH_NOTES.md)
+      fd           round-3 flash-decode kernel: T-tiled online softmax with
+                   VPU grouped reductions (the DMA-bound design)
+      dense        block-diagonal dense-Q MXU variant
 
-    return os.environ.get("WHISPER_TPU_DECODE_FLASH", "0") == "1"
+    Process-start-only knob (frozen at import, like _FUSED_QKV): returns the
+    kernel kind string or None."""
+    return _DECODE_FLASH_KIND
+
+
+def _pallas_cross_decode(qh, cross):
+    """Dispatch the S=1 cross-attention to the selected Pallas kernel."""
+    from ..ops import decode_attention as da
+
+    if _DECODE_FLASH_KIND == "fd":
+        return da.cross_attention_decode_fd(qh, *cross, t_tile=_FD_TILE)
+    if _DECODE_FLASH_KIND == "dense":
+        return da.cross_attention_decode_dense(qh, *cross)
+    return da.cross_attention_decode(qh, *cross)
 
 
 # ------------------------------------------------------------------ decoder
@@ -443,6 +457,11 @@ _FUSED_QKV = _os.environ.get("WHISPER_TPU_FUSED_QKV", "0") == "1"
 # the latency-bound decode step at the cost of a bigger program (longer
 # compiles through the axon tunnel).
 _DECODE_UNROLL = int(_os.environ.get("WHISPER_TPU_DECODE_UNROLL", "1"))
+# Pallas decode cross-attention kernel selection (see _use_decode_flash)
+_DECODE_FLASH_KIND = {"1": "legacy", "legacy": "legacy", "fd": "fd",
+                      "dense": "dense"}.get(
+    _os.environ.get("WHISPER_TPU_DECODE_FLASH", "0"))
+_FD_TILE = int(_os.environ.get("WHISPER_TPU_FD_TILE", "512"))
 
 
 def _use_fused_qkv() -> bool:
@@ -582,10 +601,7 @@ def decoder_forward(
             qh = (qh.reshape(Bu, beam_k, n_head, S, dh)
                   .transpose(0, 2, 1, 3, 4).reshape(Bu, n_head, beam_k * S, dh))
         if decode_flash and beam_k is None:
-            from ..ops.decode_attention import cross_attention_decode
-
-            o = cross_attention_decode(qh, cross[0], cross[1], cross[2],
-                                       cross[3])
+            o = _pallas_cross_decode(qh, cross)
         elif kv_quant:
             o = attention_int8kv(qh, cross[0], cross[1], cross[2], cross[3])
         else:
@@ -681,10 +697,7 @@ def decoder_step_multipos(
         h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
         q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
         if decode_flash:
-            from ..ops.decode_attention import cross_attention_decode
-
-            o = cross_attention_decode(_split_heads(q, n_head), cross[0],
-                                       cross[1], cross[2], cross[3])
+            o = _pallas_cross_decode(_split_heads(q, n_head), cross)
         elif kv_quant:
             o = attention_int8kv(_split_heads(q, n_head), cross[0], cross[1],
                                  cross[2], cross[3])

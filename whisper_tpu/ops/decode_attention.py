@@ -155,6 +155,186 @@ def _kernel_vpu(q_ref, ks_ref, vs_ref, kq_ref, vq_ref, o_ref, *,
     o_ref[0] = (o * vs_ref[0]).astype(o_ref.dtype)
 
 
+def _fd_kernel(q_ref, vs_ref, k_ref, v_ref, o_ref,
+               m_ref, d_ref, acc_ref, *,
+               n_head: int, dh: int, t_valid: int, t_tile: int):
+    """Flash-decode tile: online-softmax cross-attention for one batch row.
+
+    Grid is (B, nT) with the T axis innermost; the kernel sees one
+    (H*dh, t_tile) int8 slab of K and V per step and keeps running
+    max/denominator/output in VMEM scratch across the T tiles of a row.
+
+    All reductions are VPU (grouped sublane adds for scores, lane reduction
+    for the weighted sum): the M=1-per-head matvecs that XLA and the legacy
+    kernels push through the MXU are ingest-bound at the MXU's streaming
+    rate (~0.5 elem/lane/cycle), below HBM bandwidth — the VPU's 8x128 ALUs
+    are the only unit wide enough to keep the int8 KV stream DMA-bound.
+    """
+    t = pl.program_id(1)
+    nT = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        d_ref[:] = jnp.zeros_like(d_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # scores: each head's dh K rows scaled by the (scale-folded) query and
+    # group-reduced over the sublane axis -> (H, t_tile). One convert + one
+    # multiply + one add per K byte.
+    k3 = k_ref[0].reshape(n_head, dh, t_tile).astype(jnp.float32)
+    s = jnp.sum(k3 * q_ref[0][:, :, None], axis=1)       # (H, Tt)
+
+    # mask the ragged tail of the last tile (T=1500 is not tile-aligned)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * t_tile
+    s = jnp.where(col < t_valid, s, jnp.float32(-1e30))
+
+    m_prev = m_ref[:]                                    # (H, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)                       # (H, 1)
+    p = jnp.exp(s - m_new)                               # (H, Tt)
+    d_ref[:] = d_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:] = m_new
+
+    # weighted V sum: broadcast p over each head's dh rows, multiply,
+    # reduce over the lane (T) axis -> (H, dh)
+    v3 = v_ref[0].reshape(n_head, dh, t_tile).astype(jnp.float32)
+    ov = jnp.sum(v3 * p[:, None, :], axis=2)             # (H, dh)
+    acc_ref[:] = acc_ref[:] * corr + ov
+
+    @pl.when(t == nT - 1)
+    def _():
+        o = acc_ref[:] / jnp.maximum(d_ref[:], 1e-30)    # (H, dh)
+        o_ref[0] = (o * vs_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "t_tile"))
+def cross_attention_decode_fd(
+    q: jnp.ndarray,    # (B, H, 1, dh) compute dtype
+    k_q: jnp.ndarray,  # (B, H, dh, T) int8 (transposed, quantize_cross_kv)
+    k_s: jnp.ndarray,  # (B, H, 1, dh) fp32
+    v_q: jnp.ndarray,  # (B, H, dh, T) int8 (transposed)
+    v_s: jnp.ndarray,  # (B, H, 1, dh) fp32
+    interpret: bool = False,
+    t_tile: int = 512,
+) -> jnp.ndarray:
+    """Flash-decode single-query attention against int8 cross-KV.
+
+    Numerics match models.model.attention_int8kv (exact scale folding; the
+    online softmax recombination is fp32). Returns (B, H, 1, dh) in q.dtype.
+    """
+    B, H, _, dh = q.shape
+    T = k_q.shape[-1]
+    scale = dh ** -0.5
+    nT = -(-T // t_tile)
+
+    # fold K scales + 1/sqrt(dh) into the query once, on the XLA side
+    qs = (q[:, :, 0].astype(jnp.float32) * k_s[:, :, 0] * scale)  # (B, H, dh)
+    vs = v_s[:, :, 0].astype(jnp.float32)                          # (B, H, dh)
+    kqf = k_q.reshape(B, H * dh, T)
+    vqf = v_q.reshape(B, H * dh, T)
+
+    out = pl.pallas_call(
+        functools.partial(_fd_kernel, n_head=H, dh=dh, t_valid=T,
+                          t_tile=t_tile),
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, H, dh), lambda b, t: (b, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, H, dh), lambda b, t: (b, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, H * dh, t_tile), lambda b, t: (b, 0, t),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, H * dh, t_tile), lambda b, t: (b, 0, t),
+                         memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, dh), lambda b, t: (b, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, dh), q.dtype),
+        scratch_shapes=([
+            pltpu.VMEM((H, 1), jnp.float32),     # running max
+            pltpu.VMEM((H, 1), jnp.float32),     # running denominator
+            pltpu.VMEM((H, dh), jnp.float32),    # running output
+        ] if pltpu is not None else []),
+        interpret=interpret,
+    )(qs.reshape(B, H, dh), vs.reshape(B, H, dh), kqf, vqf)
+    return out.reshape(B, H, 1, dh)
+
+
+def _dense_kernel(qd_ref, vs_ref, k_ref, v_ref, o_ref, *,
+                  n_head: int, dh: int):
+    """Dense block-diagonal MXU variant: one batch row per grid cell.
+
+    The per-head (1, dh) @ (dh, T) matvecs become ONE (H, H*dh) @ (H*dh, T)
+    matmul against a block-diagonal query matrix (zeros off each head's dh
+    columns) — 20x redundant MACs, but the MXU is FLOP-rich and this turns
+    240 M=1 passes into 120 M=20 passes. Measures whether MXU pass count or
+    streamed elements dominate; the VPU flash-decode kernel is the
+    theoretically DMA-bound design."""
+    cdt = jnp.bfloat16
+    s = jax.lax.dot_general(
+        qd_ref[0].astype(cdt), k_ref[0].astype(cdt),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (H, T)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    w = (p / jnp.sum(p, axis=1, keepdims=True)).astype(cdt)
+    ovt = jax.lax.dot_general(
+        v_ref[0].astype(cdt), w,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (H*dh, H)
+    # extract each head's own column: o[h, d] = ovt[h*dh + d, h]
+    ov = ovt.reshape(n_head, dh, n_head)
+    hsel = (jax.lax.broadcasted_iota(jnp.int32, ov.shape, 0)
+            == jax.lax.broadcasted_iota(jnp.int32, ov.shape, 2))
+    o = jnp.sum(jnp.where(hsel, ov, 0.0), axis=2)        # (H, dh)
+    o_ref[0] = (o * vs_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cross_attention_decode_dense(
+    q: jnp.ndarray,    # (B, H, 1, dh) compute dtype
+    k_q: jnp.ndarray,  # (B, H, dh, T) int8
+    k_s: jnp.ndarray,  # (B, H, 1, dh) fp32
+    v_q: jnp.ndarray,  # (B, H, dh, T) int8
+    v_s: jnp.ndarray,  # (B, H, 1, dh) fp32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Block-diagonal dense-Q MXU variant of the decode cross-attention."""
+    B, H, _, dh = q.shape
+    T = k_q.shape[-1]
+    scale = dh ** -0.5
+
+    qs = q[:, :, 0].astype(jnp.float32) * k_s[:, :, 0] * scale  # (B, H, dh)
+    # dense block-diagonal query: qd[b, h, h*dh + d] = qs[b, h, d]
+    qt = jnp.tile(qs, (1, 1, H))                                # (B, H, H*dh)
+    col_head = jnp.arange(H * dh) // dh
+    qd = jnp.where(col_head[None, None, :] == jnp.arange(H)[None, :, None],
+                   qt, 0.0)
+    vs = v_s[:, :, 0].astype(jnp.float32)
+    kqf = k_q.reshape(B, H * dh, T)
+    vqf = v_q.reshape(B, H * dh, T)
+
+    out = pl.pallas_call(
+        functools.partial(_dense_kernel, n_head=H, dh=dh),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, H * dh), lambda b: (b, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, H, dh), lambda b: (b, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, H * dh, T), lambda b: (b, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, H * dh, T), lambda b: (b, 0, 0),
+                         memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, dh), lambda b: (b, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, dh), q.dtype),
+        interpret=interpret,
+    )(qd, vs.reshape(B, H, dh), kqf, vqf)
+    return out.reshape(B, H, 1, dh)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "use_vpu"))
 def cross_attention_decode(
     q: jnp.ndarray,    # (B, H, 1, dh) compute dtype

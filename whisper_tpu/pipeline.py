@@ -85,6 +85,7 @@ class WhisperPipeline:
         no_speech_threshold: float = 0.6,
         condition_on_previous_text: bool = True,
         initial_prompt: Optional[str] = None,
+        longform_overlap_s: float = 2.0,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -109,6 +110,9 @@ class WhisperPipeline:
         # OpenAI --initial_prompt: free text prepended as [sot_prev, tokens]
         # context (vocabulary/style priming); the reference has no analog
         self.initial_prompt = initial_prompt
+        # fixed-window long-form: overlap between windows so merge_texts'
+        # duplicate trimming is live (0 would bisect words at boundaries)
+        self.longform_overlap = int(longform_overlap_s * 16000)
 
         if checkpoint is not None:
             self.params, self.cfg = load_checkpoint(checkpoint, size=model)
@@ -167,7 +171,8 @@ class WhisperPipeline:
         t0 = time.perf_counter()
         language = language or self.language
         waves = [load_audio(a) for a in audios]
-        chunk_lists = [split_audio(w)[0] for w in waves]
+        chunk_lists = [split_audio(w, overlap_samples=self.longform_overlap)[0]
+                       for w in waves]
         flat_waves = [c for cl in chunk_lists for c in cl]
         n_chunks = [len(cl) for cl in chunk_lists]
         batch, lengths, secs = self._prepare_batch(flat_waves)

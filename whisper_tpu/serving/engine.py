@@ -130,6 +130,7 @@ class ContinuousBatchingEngine:
         logprob_threshold: Optional[float] = -1.0,
         compression_ratio_threshold: Optional[float] = 2.4,
         admit_chunk: Optional[int] = None,
+        longform_overlap_s: float = 2.0,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -153,6 +154,11 @@ class ContinuousBatchingEngine:
         # full-batch one. An idle engine admits whole buckets (best encoder
         # efficiency, nobody to stall).
         self.admit_chunk = admit_chunk or max(1, max_slots // 4)
+        # serving-level long audio: requests past the model's 30 s window are
+        # split into overlapping windows at submit (the reference silently
+        # truncates instead, python/whisper.py:148-152 — the flaw SURVEY §5
+        # mandates fixing at the serving level)
+        self.longform_overlap = int(longform_overlap_s * 16000)
 
         from ..models.model import cast_floating
 
@@ -276,11 +282,120 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------- API
     def submit(self, req: Request) -> Future:
+        if len(req.audio) > N_SAMPLES:
+            return self._submit_longform(req)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
             raise OverloadedError(
                 f"queue full ({self._queue.maxsize} pending requests)")
+        self.stats.queue_depth = self._queue.qsize() + len(self._pending)
+        return req.future
+
+    def _submit_longform(self, req: Request) -> Future:
+        """Split a >30 s request into overlapping 30 s windows submitted as
+        ordinary slot requests; the parent future resolves with the merged
+        transcript (longform.merge_texts trims the overlap-duplicated text).
+        Each window passes the engine's quality gates independently, so
+        silent stretches drop out exactly as in the offline seek path."""
+        from ..longform import merge_texts, split_audio
+
+        waves, _ = split_audio(req.audio, N_SAMPLES, self.longform_overlap)
+        n = len(waves)
+        children: List[Request] = []
+        lock = threading.Lock()
+        results: List[Optional[dict]] = [None] * n
+
+        def effective_lang() -> str:
+            first = children[0]
+            if first.language not in (None, "auto"):
+                return first.language
+            for c in children:
+                if c.language_resolved:
+                    return c.language_resolved
+            return "en"
+
+        def partial_for(i: int, text: str):
+            if req.on_partial is None:
+                return
+            with lock:
+                prefix = []
+                for j in range(i):
+                    prefix.append("" if results[j] is None
+                                  else results[j]["text"])
+            try:
+                req.on_partial(merge_texts(prefix + [text], effective_lang()))
+            except Exception:
+                req.on_partial = None
+
+        def on_child_done(i: int, fut: Future):
+            if req.future.cancelled():
+                for c in children:
+                    c.cancel()
+                return
+            if req.future.done():
+                return
+            exc = fut.exception() if not fut.cancelled() else None
+            if fut.cancelled() or exc is not None:
+                for c in children:
+                    c.cancel()
+                if not req.future.done():
+                    if exc is not None:
+                        req.future.set_exception(exc)
+                    else:
+                        req.future.cancel()
+                return
+            with lock:
+                results[i] = fut.result()
+                done = all(r is not None for r in results)
+            if not done:
+                return
+            lang = effective_lang()
+            text = merge_texts([r["text"] for r in results], lang)
+            wall = time.perf_counter() - req.enqueued_at
+            audio_s = len(req.audio) / 16000.0
+            lps = [r["avg_logprob"] for r in results]
+            if not req.future.done():
+                req.future.set_result({
+                    "success": True,
+                    "text": text,
+                    "language": lang,
+                    "audio_seconds": audio_s,
+                    "wall_seconds": wall,
+                    "rtf": wall / max(audio_s, 1e-9),
+                    "windows": n,
+                    "no_speech_prob": max(r["no_speech_prob"] for r in results),
+                    "avg_logprob": float(sum(lps) / len(lps)),
+                    "compression_ratio": max(r["compression_ratio"]
+                                             for r in results),
+                    "quality_ok": all(r["quality_ok"] for r in results),
+                })
+
+        if self._queue.maxsize and (self._queue.qsize() + n
+                                    > self._queue.maxsize):
+            raise OverloadedError(
+                f"queue full ({self._queue.maxsize} pending requests; "
+                f"long-form request needs {n} window slots)")
+        for i, w in enumerate(waves):
+            child = Request(audio=w, language=req.language, task=req.task,
+                            deadline_s=req.deadline_s)
+            # deadline is relative to the PARENT's arrival, not the window's
+            child.enqueued_at = req.enqueued_at
+            if req.on_partial is not None:
+                child.on_partial = functools.partial(partial_for, i)
+            children.append(child)
+        for i, child in enumerate(children):
+            child.future.add_done_callback(functools.partial(on_child_done, i))
+            try:
+                self._queue.put_nowait(child)
+            except queue.Full:
+                exc = OverloadedError(
+                    f"queue full ({self._queue.maxsize} pending requests)")
+                for c in children:
+                    c.cancel()
+                if not req.future.done():
+                    req.future.set_exception(exc)
+                raise exc
         self.stats.queue_depth = self._queue.qsize() + len(self._pending)
         return req.future
 
