@@ -49,3 +49,40 @@ def test_word_level_wer():
     assert res.total_chars == 6
     assert abs(res.per_utt[0][3] - 0.25) < 1e-9
     assert res.per_utt[1][3] == 0.0
+
+
+def test_eval_main_end_to_end(tmp_path, rng):
+    """Drive ``python -m whisper_tpu.eval`` over a synthetic AIShell-format
+    dataset to a wer.txt — the reference's only correctness gate is this
+    invocation shape (python/test_wer.py:249-303). The WER value is
+    meaningless with random weights; the plumbing (dataset iteration, batch
+    pipeline, per-utterance logging, wer.txt output) is the test."""
+    import numpy as np
+
+    from whisper_tpu.eval.__main__ import main as eval_main
+    from whisper_tpu.ops.audio import write_wav
+
+    wav_dir = tmp_path / "aishell_S0764"
+    wav_dir.mkdir()
+    gt = tmp_path / "ground_truth.txt"
+    lines = []
+    for i in range(5):
+        utt = f"BAC0000{i}"
+        write_wav(str(wav_dir / f"{utt}.wav"),
+                  (rng.standard_normal(8000) * 0.05).astype(np.float32))
+        lines.append(f"{utt} 测试句子{i}")
+    gt.write_text("\n".join(lines), encoding="utf-8")
+
+    log = tmp_path / "test_wer.log"
+    out = tmp_path / "wer.txt"
+    rc = eval_main([
+        "--dataset", "aishell", "--gt_path", str(gt),
+        "--model_type", "tiny", "--language", "zh",
+        "--batch", "4", "--dtype", "float32", "--limit", "5",
+        "--log", str(log), "--out", str(out),
+    ])
+    assert rc == 0
+    wer = float(out.read_text().strip())
+    assert wer >= 0.0
+    logged = log.read_text(encoding="utf-8")
+    assert "WER" in logged and "BAC00000" in logged

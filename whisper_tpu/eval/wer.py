@@ -163,10 +163,15 @@ def evaluate(
     items = list(dataset)[:limit]
     pairs: List[Tuple[str, str, str]] = []
     handlers: List[logging.Handler] = []
+    prev_level = logger.level
     if log_path:
         h = logging.FileHandler(log_path)
         logger.addHandler(h)
         handlers.append(h)
+        # the file log must capture per-utterance lines regardless of the
+        # ambient root level (reference sets its logging up explicitly too,
+        # python/test_wer.py:8-42)
+        logger.setLevel(logging.INFO)
     try:
         for i in range(0, len(items), batch_size):
             chunk = items[i : i + batch_size]
@@ -185,3 +190,6 @@ def evaluate(
     finally:
         for h in handlers:
             logger.removeHandler(h)
+            h.close()
+        if log_path:
+            logger.setLevel(prev_level)
