@@ -118,3 +118,24 @@ def test_en_sot_sequence_and_config_json_roundtrip():
     assert cfg2.n_vocab == cfg.n_vocab
     assert cfg2.is_multilingual == cfg.is_multilingual
     assert cfg2.sot_sequence("en", "transcribe") == cfg.sot_sequence("en", "transcribe")
+
+
+def test_en_vocab_missing_raises_precise_remediation(monkeypatch):
+    """.en tokenization needs gpt2.tiktoken, which cannot be vendored without
+    egress — the failure must say exactly how to remediate (VERDICT r2 #9),
+    and must not be confused with a broken multilingual install."""
+    import pytest
+
+    from whisper_tpu.tokenizer import find_vocab_file, get_tokenizer
+
+    monkeypatch.delenv("WHISPER_TPU_VOCAB", raising=False)
+    with pytest.raises(FileNotFoundError) as ei:
+        find_vocab_file(multilingual=False)
+    msg = str(ei.value)
+    assert "gpt2.tiktoken" in msg
+    assert "fetch_assets.py" in msg          # the remediation
+    assert "supported" in msg                 # supported-but-not-fetched
+    with pytest.raises(FileNotFoundError, match="gpt2"):
+        get_tokenizer(multilingual=False)
+    # the vendored multilingual path still resolves
+    assert find_vocab_file(multilingual=True).endswith("multilingual.tiktoken")

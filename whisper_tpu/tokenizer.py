@@ -80,10 +80,21 @@ def find_vocab_file(explicit: Optional[str] = None,
     for c in candidates:
         if c and os.path.exists(c):
             return os.path.abspath(c)
+    if multilingual:
+        # vendored in assets/ — missing means a broken install, not egress
+        raise FileNotFoundError(
+            f"{name} vocab not found (it ships vendored in assets/ — this "
+            "install is incomplete); set WHISPER_TPU_VOCAB to a copy of "
+            "OpenAI's multilingual.tiktoken or reinstall the package")
+    # English-only .en models ARE supported, but their GPT-2 rank table is
+    # not vendored (it has never been fetched into this environment); the
+    # fetch script covers it the day egress is available.
     raise FileNotFoundError(
-        f"{name} vocab not found; set WHISPER_TPU_VOCAB or run "
-        "scripts/fetch_assets.py"
-    )
+        "gpt2.tiktoken vocab not found: English-only '.en' models are "
+        "supported but their BPE table is not vendored yet. Fetch it with "
+        "`python scripts/fetch_assets.py` (needs network egress) or point "
+        "WHISPER_TPU_VOCAB at an existing gpt2.tiktoken "
+        "(base64-token<space>rank lines, ggml-style)")
 
 
 @lru_cache(maxsize=4)
