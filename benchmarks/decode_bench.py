@@ -40,7 +40,7 @@ import time
 import numpy as np
 
 
-def build_step(variant: str, cfg, dt):
+def build_step(variant: str, cfg, dt, kv_ctx: int = 0):
     """Returns step(params, tok (B,), offset, k, v, cross) -> (next_tok, k, v).
 
     params/cross ride as explicit arguments — closing over them would bake
@@ -80,7 +80,7 @@ def build_step(variant: str, cfg, dt):
     )
 
     n_head = cfg.n_text_head
-    T = cfg.n_text_ctx
+    T = kv_ctx or cfg.n_text_ctx
     do_cross = variant != "no_cross"
     do_self = variant != "no_self"
     do_mlp = variant != "no_mlp"
@@ -196,6 +196,13 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=64, help="decode steps per timing")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--xq", action="store_true",
+                   help="force int8 cross-KV (compose with ablation variants)")
+    p.add_argument("--sq", action="store_true",
+                   help="force int8 self-KV (compose with ablation variants)")
+    p.add_argument("--kv_ctx", type=int, default=0,
+                   help="self-KV cache context (0 = full n_text_ctx; the "
+                        "engine/offline paths bucket to 128 multiples)")
     args = p.parse_args()
 
     import jax
@@ -234,25 +241,28 @@ def main() -> int:
                     cfg.head_dim_text)
     ck = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
     cv = jnp.asarray(rng.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
-    cross_quant = args.variant in ("full_xq", "full_xq_sq", "int8w",
-                                   "int8w_lq", "full_xq_sq_lq", "model_fwd",
-                                   "pallas_cross", "pallas_cross_vpu",
-                                   "pallas_cross_fd", "pallas_cross_dense")
+    cross_quant = args.xq or args.variant in (
+        "full_xq", "full_xq_sq", "int8w",
+        "int8w_lq", "full_xq_sq_lq", "model_fwd",
+        "pallas_cross", "pallas_cross_vpu",
+        "pallas_cross_fd", "pallas_cross_dense")
     if cross_quant:
         cross_kv = tuple(jax.device_put(t) for t in quantize_cross_kv((ck, cv)))
     else:
         cross_kv = (jax.device_put(ck.astype(dt)), jax.device_put(cv.astype(dt)))
     del ck, cv
 
-    self_quant = args.variant in ("full_sq", "full_xq_sq", "int8w",
-                                  "int8w_lq", "full_xq_sq_lq", "model_fwd",
-                                  "pallas_cross_fd", "pallas_cross_dense")
+    self_quant = args.sq or args.variant in (
+        "full_sq", "full_xq_sq", "int8w",
+        "int8w_lq", "full_xq_sq_lq", "model_fwd",
+        "pallas_cross_fd", "pallas_cross_dense")
+    kv_ctx = args.kv_ctx or cfg.n_text_ctx
     if self_quant:
-        kv = QKVCache.create(cfg, B)
+        kv = QKVCache.create(cfg, B, ctx=kv_ctx)
     else:
-        kv = KVCache.create(cfg, B, dtype=dt)
+        kv = KVCache.create(cfg, B, dtype=dt, ctx=kv_ctx)
 
-    step = build_step(args.variant, cfg, dt)
+    step = build_step(args.variant, cfg, dt, kv_ctx=kv_ctx)
     steps = args.steps
     start = 4  # as if a 4-token sot prompt was prefetched
 
@@ -280,7 +290,8 @@ def main() -> int:
     best = min(times)
     out = {"variant": args.variant, "model": args.model, "batch": B,
            "ms_per_step": round(best * 1e3, 3),
-           "all_ms": [round(t * 1e3, 3) for t in times]}
+           "all_ms": [round(t * 1e3, 3) for t in times],
+           "xq": cross_quant, "sq": self_quant, "kv_ctx": kv_ctx}
     print(json.dumps(out))
     return 0
 

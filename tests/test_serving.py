@@ -9,6 +9,7 @@ import json
 import struct
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -615,3 +616,90 @@ def test_http_asr_long_audio(http_server, rng):
     assert res["success"]
     assert res["audio_seconds"] == pytest.approx(65.0)
     assert res["windows"] == 3
+
+
+# ---------------------------------------------------------------- beam serving
+
+def test_engine_beam_matches_offline(engine, nano_params, rng):
+    """A beam_size=K request is served by the beam worker and must match the
+    offline beam_search bit-for-bit (same params, same rules). The reference
+    is greedy-only (python/whisper.py:235)."""
+    from whisper_tpu.beam import beam_search
+
+    wav = _audio(rng, 0.8)
+    res = engine.transcribe_beam(wav, language="zh", beam_size=3, timeout=120)
+    assert res["success"]
+    assert res["beam_size"] == 3
+    got_ids = [int(s) for s in res["text"].split()] if res["text"] else []
+
+    audio = np.zeros((1, N_SAMPLES), np.float32)
+    audio[0, : len(wav)] = wav
+    mel = log_mel_batch(jnp.asarray(audio), jnp.asarray([len(wav)], np.int32),
+                        n_mels=NANO.n_mels)[..., : 2 * NANO.n_audio_ctx]
+    prompt = jnp.asarray([NANO.sot_sequence("zh", "transcribe")], jnp.int32)
+    ref = beam_search(nano_params, mel, prompt, NANO, beam_size=3,
+                      compute_dtype=jnp.float32, max_tokens=12,
+                      apply_filters=False)
+    ref_ids = np.asarray(ref.tokens)[0, 4: np.asarray(ref.lengths)[0]].tolist()
+    assert got_ids == ref_ids
+    assert res["avg_logprob"] == pytest.approx(float(ref.avg_logprob[0]), abs=1e-4)
+
+
+def test_engine_mixed_greedy_beam_traffic(engine, rng):
+    """Greedy slots and the beam worker serve concurrently; neither path
+    blocks the other and each result is labeled."""
+    futs = []
+    for i in range(3):
+        futs.append(engine.submit(Request(audio=_audio(rng, 0.4 + 0.1 * i),
+                                          language="zh")))
+        futs.append(engine.submit(Request(audio=_audio(rng, 0.5 + 0.1 * i),
+                                          language="zh", beam_size=2)))
+    results = [f.result(timeout=180) for f in futs]
+    assert all(r["success"] for r in results)
+    beam_results = [r for r in results if r.get("beam_size", 1) > 1]
+    assert len(beam_results) == 3
+    assert engine.stats.beam_requests_total >= 3
+    assert engine.stats.requests_total >= 6
+
+
+def test_engine_beam_size_cap(engine, rng):
+    with pytest.raises(ValueError, match="beam_size"):
+        engine.submit(Request(audio=_audio(rng, 0.3), beam_size=99))
+
+
+def test_http_asr_beam(http_server, rng):
+    """HTTP beam=K parameter routes to the beam worker (query string on the
+    octet-stream protocol; out-of-range K is a 400)."""
+    wav = _audio(rng, 0.6)
+    req = urllib.request.Request(
+        f"{http_server}/asr?language=zh&beam=3", data=wav.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    res = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert res["success"]
+    assert res["beam_size"] == 3
+    assert "avg_logprob" in res
+
+    bad = urllib.request.Request(
+        f"{http_server}/asr?beam=99", data=wav.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad, timeout=30)
+    assert ei.value.code == 400
+
+
+def test_engine_beam_longform(nano_params, rng):
+    """>30 s + beam_size: windows inherit the beam size and the parent
+    future resolves with the merged beam transcripts."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=8, apply_filters=False,
+        longform_overlap_s=2.0).start()
+    try:
+        wav = _audio(rng, 65.0)
+        fut = eng.submit(Request(audio=wav, language="zh", beam_size=2))
+        res = fut.result(timeout=300)
+        assert res["success"]
+        assert res["windows"] == 3
+        assert eng.stats.beam_requests_total == 3
+    finally:
+        eng.stop()

@@ -11,7 +11,11 @@ instance). This engine keeps a fixed pool of B_max decode slots on device:
   multi-position decode step (models.model.decoder_step_multipos) — slots
   admitted at different times decode together;
 - finished slots (eot or ctx limit) are harvested, detokenized, and freed
-  without stopping the loop.
+  without stopping the loop;
+- requests with beam_size > 1 are served by a separate beam worker thread:
+  micro-batched whisper-style beam search (beam.beam_search_kv) sharing the
+  engine's params and jitted encode/language-detect, off the decode thread
+  so greedy slots never stall on a beam run.
 
 All state (KV caches, cross-KV, token buffers, rule state) is device-
 resident; the host only sees per-iteration done flags and final tokens.
@@ -49,6 +53,12 @@ class Request:
     audio: np.ndarray          # mono f32 @16k
     language: str = "zh"
     task: str = "transcribe"
+    # beam_size > 1 routes the request to the engine's beam worker: a
+    # micro-batched whisper-style beam search (beam.beam_search_kv) sharing
+    # the engine's params and jitted encode/lang-detect. The reference has
+    # no beam at all (python/whisper.py:235 argmax); greedy slots stay the
+    # serving default, beam is the quality option.
+    beam_size: int = 1
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)
     # streaming: called with the partial transcript after each sync round
@@ -87,6 +97,7 @@ class EngineStats:
     # quality gates (harvest-time, OpenAI transcribe semantics)
     no_speech_total: int = 0      # requests gated to "" by the silence rule
     low_quality_total: int = 0    # compression-ratio / logprob criteria failed
+    beam_requests_total: int = 0  # requests served by the beam worker
 
     def snapshot(self) -> dict:
         d = dict(self.__dict__)
@@ -131,6 +142,9 @@ class ContinuousBatchingEngine:
         compression_ratio_threshold: Optional[float] = 2.4,
         admit_chunk: Optional[int] = None,
         longform_overlap_s: float = 2.0,
+        beam_batch_max: int = 8,
+        max_beam_size: int = 8,
+        length_penalty: Optional[float] = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -159,6 +173,11 @@ class ContinuousBatchingEngine:
         # truncates instead, python/whisper.py:148-152 — the flaw SURVEY §5
         # mandates fixing at the serving level)
         self.longform_overlap = int(longform_overlap_s * 16000)
+        # beam worker: micro-batch size cap and per-request K ceiling (each
+        # distinct (bucket, K) is one jit compile — the ceiling bounds abuse)
+        self.beam_batch_max = beam_batch_max
+        self.max_beam_size = max_beam_size
+        self.length_penalty = length_penalty
 
         from ..models.model import cast_floating
 
@@ -264,6 +283,13 @@ class ContinuousBatchingEngine:
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # beam worker state: FIFO deque guarded by a condition; the worker
+        # micro-batches same-K runs from the left (different-K requests keep
+        # their place for a later round)
+        self._beam_pending: "deque[Request]" = deque()
+        self._beam_cv = threading.Condition()
+        self._beam_thread: Optional[threading.Thread] = None
+        self._beam_max_queue = max_queue
 
     # ------------------------------------------------------------- helpers
     def _head_sharding(self, ndim: int):
@@ -282,14 +308,29 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------- API
     def submit(self, req: Request) -> Future:
+        if req.beam_size > self.max_beam_size:
+            raise ValueError(
+                f"beam_size {req.beam_size} exceeds the engine cap "
+                f"{self.max_beam_size}")
         if len(req.audio) > N_SAMPLES:
             return self._submit_longform(req)
+        if req.beam_size > 1:
+            return self._submit_beam(req)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
             raise OverloadedError(
                 f"queue full ({self._queue.maxsize} pending requests)")
         self.stats.queue_depth = self._queue.qsize() + len(self._pending)
+        return req.future
+
+    def _submit_beam(self, req: Request) -> Future:
+        with self._beam_cv:
+            if len(self._beam_pending) >= self._beam_max_queue:
+                raise OverloadedError(
+                    f"beam queue full ({self._beam_max_queue} pending requests)")
+            self._beam_pending.append(req)
+            self._beam_cv.notify()
         return req.future
 
     def _submit_longform(self, req: Request) -> Future:
@@ -378,7 +419,8 @@ class ContinuousBatchingEngine:
                 f"long-form request needs {n} window slots)")
         for i, w in enumerate(waves):
             child = Request(audio=w, language=req.language, task=req.task,
-                            deadline_s=req.deadline_s)
+                            deadline_s=req.deadline_s,
+                            beam_size=req.beam_size)
             # deadline is relative to the PARENT's arrival, not the window's
             child.enqueued_at = req.enqueued_at
             if req.on_partial is not None:
@@ -387,8 +429,11 @@ class ContinuousBatchingEngine:
         for i, child in enumerate(children):
             child.future.add_done_callback(functools.partial(on_child_done, i))
             try:
-                self._queue.put_nowait(child)
-            except queue.Full:
+                if child.beam_size > 1:
+                    self._submit_beam(child)
+                else:
+                    self._queue.put_nowait(child)
+            except (queue.Full, OverloadedError):
                 exc = OverloadedError(
                     f"queue full ({self._queue.maxsize} pending requests)")
                 for c in children:
@@ -400,19 +445,34 @@ class ContinuousBatchingEngine:
         return req.future
 
     def transcribe(self, audio: np.ndarray, language: str = "zh",
-                   task: str = "transcribe", timeout: Optional[float] = 120.0) -> dict:
-        fut = self.submit(Request(audio=audio, language=language, task=task))
+                   task: str = "transcribe", timeout: Optional[float] = 120.0,
+                   beam_size: int = 1) -> dict:
+        fut = self.submit(Request(audio=audio, language=language, task=task,
+                                  beam_size=beam_size))
         return fut.result(timeout=timeout)
+
+    def transcribe_beam(self, audio: np.ndarray, language: str = "zh",
+                        task: str = "transcribe", beam_size: int = 5,
+                        timeout: Optional[float] = 120.0) -> dict:
+        return self.transcribe(audio, language=language, task=task,
+                               timeout=timeout, beam_size=beam_size)
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True, name="cb-engine")
         self._thread.start()
+        self._beam_thread = threading.Thread(
+            target=self._beam_run, daemon=True, name="cb-beam")
+        self._beam_thread.start()
         return self
 
     def stop(self):
         self._stop.set()
+        with self._beam_cv:
+            self._beam_cv.notify_all()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self._beam_thread is not None:
+            self._beam_thread.join(timeout=30)
 
     # ------------------------------------------------------------- jitted pieces
     @functools.cached_property
@@ -783,6 +843,28 @@ class ContinuousBatchingEngine:
         b = text.encode("utf-8")
         return len(b) / max(len(zlib.compress(b)), 1)
 
+    def _quality_gate(self, text: str, nsp: float, avg_lp: float):
+        """Harvest-time quality gates (longform.silence_mask / OpenAI
+        transcribe semantics): silence unless the decode is confident anyway;
+        compression/logprob failures are flagged, not retried. Shared by the
+        greedy harvest and the beam worker. Returns (text, comp, quality_ok)
+        and bumps the gate counters."""
+        comp = self._compression_ratio(text)
+        quality_ok = True
+        if ((self.compression_ratio_threshold is not None
+             and comp > self.compression_ratio_threshold)
+                or (self.logprob_threshold is not None
+                    and avg_lp < self.logprob_threshold)):
+            quality_ok = False
+            self.stats.low_quality_total += 1
+        if (self.no_speech_threshold is not None
+                and nsp > self.no_speech_threshold
+                and not (self.logprob_threshold is not None
+                         and avg_lp > self.logprob_threshold)):
+            text = ""
+            self.stats.no_speech_total += 1
+        return text, comp, quality_ok
+
     def _emit_partials(self, tokens_h, offs_h, done_h):
         for i in range(self.B):
             req = self._slot_req[i]
@@ -822,26 +904,9 @@ class ContinuousBatchingEngine:
                 text = self.tokenizer.decode(ids).strip()
             lang = self._effective_language(req)
             text = postprocess(text, lang)
-            # quality gates (longform.silence_mask / OpenAI transcribe
-            # semantics): silence unless the decode is confident anyway;
-            # compression/logprob failures are flagged, not retried — the
-            # engine has no temperature ladder (the offline pipeline does).
             avg_lp = float(fstate_h[i, 0] / max(fstate_h[i, 1], 1.0))
             nsp = float(nsp_h[i])
-            comp = self._compression_ratio(text)
-            quality_ok = True
-            if ((self.compression_ratio_threshold is not None
-                 and comp > self.compression_ratio_threshold)
-                    or (self.logprob_threshold is not None
-                        and avg_lp < self.logprob_threshold)):
-                quality_ok = False
-                self.stats.low_quality_total += 1
-            if (self.no_speech_threshold is not None
-                    and nsp > self.no_speech_threshold
-                    and not (self.logprob_threshold is not None
-                             and avg_lp > self.logprob_threshold)):
-                text = ""
-                self.stats.no_speech_total += 1
+            text, comp, quality_ok = self._quality_gate(text, nsp, avg_lp)
             wall = time.perf_counter() - req.enqueued_at
             audio_s = len(req.audio) / 16000.0
             self.stats.requests_total += 1
@@ -892,6 +957,143 @@ class ContinuousBatchingEngine:
         self.done = jnp.zeros_like(self.done)
         self.stats.active_slots = 0
         self.stats.queue_depth = 0
+
+    # ------------------------------------------------------------- beam worker
+    def _beam_collect(self) -> List[Request]:
+        """Take a same-K micro-batch from the left of the beam deque.
+        Different-K requests keep their position (strict FIFO per K; a
+        mixed-K queue alternates rounds rather than starving anyone)."""
+        with self._beam_cv:
+            if not self._beam_pending:
+                self._beam_cv.wait(timeout=0.05)
+            if self._stop.is_set() or not self._beam_pending:
+                return []
+            K = None
+            batch: List[Request] = []
+            keep: List[Request] = []
+            now = time.perf_counter()
+            while self._beam_pending and len(batch) < self.beam_batch_max:
+                r = self._beam_pending.popleft()
+                if r.future.cancelled():
+                    continue
+                if r.expired(now):
+                    if not r.future.done():
+                        r.future.set_exception(TimeoutError(
+                            f"deadline {r.deadline_s}s expired in beam queue"))
+                    continue
+                if K is None:
+                    K = r.beam_size
+                if r.beam_size == K:
+                    batch.append(r)
+                else:
+                    keep.append(r)
+            self._beam_pending.extendleft(reversed(keep))
+            return batch
+
+    def _run_beam_batch(self, reqs: List[Request]):
+        """One micro-batched beam search: bucketed encode (shared _encode_fn,
+        so int8 cross-KV and TP shardings apply), on-device language detect
+        for 'auto' rows, then beam.beam_search_kv — the whole K-beam loop is
+        one compiled program; results pass the same quality gates as greedy."""
+        from ..beam import beam_search_kv
+        from ..tokenizer import LANGUAGES
+
+        K = reqs[0].beam_size
+        n = len(reqs)
+        buckets = ([b for b in self.prefill_buckets if b <= self.beam_batch_max]
+                   or [self.beam_batch_max])
+        bucket = _bucket(n, buckets)
+        mel = np.zeros((bucket, N_SAMPLES), np.float32)
+        lengths = np.zeros((bucket,), np.int32)
+        for i, r in enumerate(reqs):
+            a = r.audio[:N_SAMPLES]
+            mel[i, : len(a)] = a
+            lengths[i] = len(a)
+        cross = self._encode_fn(self.params, jnp.asarray(mel),
+                                jnp.asarray(lengths))
+
+        auto_rows = [i for i, r in enumerate(reqs)
+                     if r.language in (None, "auto")]
+        lang_idx_h = None
+        if auto_rows and self.cfg.is_multilingual:
+            # host sync here is fine: the beam worker is off the decode
+            # thread, so greedy slots keep stepping during detection
+            lang_idx_h = np.asarray(self._detect_fn(self.params, cross))
+        codes = list(LANGUAGES.keys())[: self.cfg.num_languages]
+        langs: List[str] = []
+        for i, r in enumerate(reqs):
+            if not self.cfg.is_multilingual:
+                langs.append("en")
+            elif r.language in (None, "auto"):
+                r.language_resolved = codes[int(lang_idx_h[i])]
+                langs.append(r.language_resolved)
+            else:
+                langs.append(r.language)
+
+        P0 = len(self.cfg.sot_sequence(langs[0], reqs[0].task))
+        prompts = np.zeros((bucket, P0), np.int32)
+        for i, r in enumerate(reqs):
+            prompts[i] = list(self.cfg.sot_sequence(langs[i], r.task))
+        if self.timestamps:
+            prompts = prompts[:, :-1]
+        P = prompts.shape[1]
+        for i in range(n, bucket):
+            prompts[i] = prompts[0]
+
+        result = beam_search_kv(
+            self.params, cross, jnp.asarray(prompts), self.cfg,
+            beam_size=K, compute_dtype=self.dt, prompt_len=P,
+            max_tokens=self.max_tokens, suppress_ids=self._suppress,
+            timestamps=self.timestamps, apply_filters=self.apply_filters,
+            length_penalty=self.length_penalty,
+            self_kv_quant=self.self_kv_quant)
+
+        from ..decode import extract_texts
+
+        texts = extract_texts(result, P, self.tokenizer,
+                              timestamps=self.timestamps)
+        lens = np.asarray(result.lengths)
+        nsp_h = np.asarray(result.no_speech_prob)
+        lp_h = np.asarray(result.avg_logprob)
+        for i, r in enumerate(reqs):
+            text = postprocess(texts[i], langs[i])
+            text, comp, quality_ok = self._quality_gate(
+                text, float(nsp_h[i]), float(lp_h[i]))
+            n_tok = int(max(lens[i] - P, 0))
+            wall = time.perf_counter() - r.enqueued_at
+            audio_s = len(r.audio) / 16000.0
+            self.stats.requests_total += 1
+            self.stats.beam_requests_total += 1
+            self.stats.tokens_total += n_tok
+            self.stats.audio_seconds_total += audio_s
+            if not r.future.done():
+                r.future.set_result({
+                    "success": True,
+                    "text": text,
+                    "language": langs[i],
+                    "audio_seconds": audio_s,
+                    "wall_seconds": wall,
+                    "rtf": wall / max(audio_s, 1e-9),
+                    "no_speech_prob": float(nsp_h[i]),
+                    "avg_logprob": float(lp_h[i]),
+                    "compression_ratio": comp,
+                    "quality_ok": quality_ok,
+                    "beam_size": K,
+                })
+
+    def _beam_run(self):
+        while not self._stop.is_set():
+            batch = self._beam_collect()
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            try:
+                self._run_beam_batch(batch)
+            except Exception as e:  # noqa: BLE001 — fail the batch, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            self.stats.busy_seconds_total += time.perf_counter() - t0
 
     def _run(self):
         while not self._stop.is_set():

@@ -9,6 +9,11 @@ Covers both reference wire protocols on POST /asr:
 Adds GET /health (reference parity, python/whisper_svr.py:35-38) and
 GET /metrics (engine stats; the reference has no metrics endpoint).
 Responses are JSON with CORS headers like the C++ server.
+
+Per-request decoding quality is selectable with ``beam`` (query string or
+multipart field; ``X-Beam`` header on the octet-stream protocol): beam=1
+(default) uses the continuous-batching greedy slots, beam=K>1 routes to the
+engine's micro-batched beam worker. The reference is greedy-only.
 """
 
 from __future__ import annotations
@@ -68,7 +73,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _stream_request(self, audio, language: str, task: str):
+    def _stream_request(self, audio, language: str, task: str, beam: int = 1):
         """Chunked response: one JSON line per partial, then the final result.
 
         Streaming partials per decode round is new capability — the reference
@@ -78,7 +83,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
 
         partials: "_q.Queue[str]" = _q.Queue()
         req = Request(audio=audio, language=language, task=task,
-                      on_partial=partials.put)
+                      beam_size=beam, on_partial=partials.put)
         fut = self.engine.submit(req)
 
         self.send_response(200)
@@ -145,6 +150,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
             ctype = self.headers.get("Content-Type", "")
             language = qs.get("language", "zh")
             task = qs.get("task", "transcribe")
+            beam = qs.get("beam", "1")
 
             if ctype.startswith("multipart/form-data"):
                 fields = parse_multipart(body, ctype)
@@ -154,6 +160,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 audio = load_audio(fields["wav"])
                 language = fields.get("language", language) or language
                 task = fields.get("task", task) or task
+                beam = fields.get("beam", beam) or beam
             elif ctype.startswith("application/octet-stream"):
                 if len(body) % 4 != 0:
                     # C++ server semantics (WhisperHTTPServer.hpp:60-71)
@@ -163,6 +170,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 audio = pcm_f32_from_bytes(body)
                 language = self.headers.get("X-Language", language)
                 task = self.headers.get("X-Task", task)
+                beam = self.headers.get("X-Beam", beam)
             else:
                 # bare WAV body as a convenience
                 audio = load_audio(body)
@@ -173,12 +181,22 @@ class WhisperHandler(BaseHTTPRequestHandler):
             if task not in ("transcribe", "translate"):
                 self._send(400, {"success": False, "error": f"bad task {task!r}"})
                 return
+            try:
+                beam = int(beam)
+            except (TypeError, ValueError):
+                self._send(400, {"success": False, "error": f"bad beam {beam!r}"})
+                return
+            if beam < 1 or beam > self.engine.max_beam_size:
+                self._send(400, {"success": False,
+                                 "error": f"beam must be in 1..{self.engine.max_beam_size}"})
+                return
 
             stream = self.headers.get("X-Stream") == "1" or qs.get("stream") == "1"
             if stream:
-                self._stream_request(audio, language, task)
+                self._stream_request(audio, language, task, beam)
                 return
-            fut = self.engine.submit(Request(audio=audio, language=language, task=task))
+            fut = self.engine.submit(Request(audio=audio, language=language,
+                                             task=task, beam_size=beam))
             result = fut.result(timeout=self.request_timeout_s)
             self._send(200, result)
         except OverloadedError as e:
