@@ -229,3 +229,65 @@ def test_cross_attention_decode_dense_matches_int8kv(rng):
     assert got.shape == ref.shape
     denom = np.maximum(np.abs(ref), 1e-1)
     assert np.median(np.abs(got - ref) / denom) < 0.05
+
+
+def test_flash_attention_btd_sharded_matches_reference(rng):
+    """BTD kernel under shard_map on a (data, model) mesh: batch over data,
+    head-major D columns over model — per-shard head tiling must reproduce
+    the unsharded attention exactly (dh=64, the real Whisper head dim)."""
+    from whisper_tpu.models.model import _merge_heads, _split_heads
+    from whisper_tpu.ops.flash_attention import flash_attention_btd_sharded
+    from whisper_tpu.parallel.sharding import make_mesh
+
+    B, T, H, dh = 4, 96, 8, 64
+    D = H * dh
+    mesh = make_mesh(2, 4)  # 8 CPU devices: data=2 x model=4 -> 2 local heads
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    ref = np.asarray(_merge_heads(attention(
+        _split_heads(q, H), _split_heads(k, H), _split_heads(v, H))))
+    got = np.asarray(flash_attention_btd_sharded(q, k, v, H, mesh,
+                                                 interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_forward_btd_sharded_matches_unsharded(rng):
+    """encoder_forward with the active mesh set dispatches the BTD kernel
+    through shard_map and must match the plain XLA path."""
+    import os
+
+    import whisper_tpu.ops.flash_attention as fa
+    from whisper_tpu.config import WhisperConfig
+    from whisper_tpu.models.model import encoder_forward, init_params
+    from whisper_tpu.parallel.sharding import (
+        make_mesh,
+        set_active_mesh,
+        shard_params,
+    )
+
+    cfg = WhisperConfig(
+        name="btd-shard", n_mels=80, n_audio_ctx=32, n_audio_state=256,
+        n_audio_head=4, n_audio_layer=2, n_vocab=1024, n_text_ctx=16,
+        n_text_state=256, n_text_head=4, n_text_layer=2)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32))
+    ref = np.asarray(encoder_forward(params, mel, cfg, jnp.float32))
+
+    mesh = make_mesh(4, 2)
+    old_flash, old_interp = os.environ.get("WHISPER_TPU_FLASH"), fa.INTERPRET
+    os.environ["WHISPER_TPU_FLASH"] = "btd"
+    fa.INTERPRET = True
+    set_active_mesh(mesh)
+    try:
+        sp = shard_params(params, mesh, cfg)
+        got = np.asarray(encoder_forward(sp, mel, cfg, jnp.float32))
+    finally:
+        set_active_mesh(None)
+        fa.INTERPRET = old_interp
+        if old_flash is None:
+            os.environ.pop("WHISPER_TPU_FLASH", None)
+        else:
+            os.environ["WHISPER_TPU_FLASH"] = old_flash
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)

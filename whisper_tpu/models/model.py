@@ -178,25 +178,33 @@ def encoder_forward(
     import os
 
     from ..ops.flash_attention import (
+        INTERPRET,
+        btd_heads_ok,
         flash_attention,
         flash_attention_btd,
+        flash_attention_btd_sharded,
         use_flash,
     )
+    from ..parallel.sharding import MODEL_AXIS, active_mesh
 
     # "auto" (default on TPU) = the layout-direct BTD kernel: attention
     # straight off the projection outputs, no split-heads/pad/slice copies
     # (those relayouts measured ~410 ms per turbo-B64 encoder pass, xprof).
     # "bhtd" keeps the split-head kernel; "0" = pure-XLA attention.
     flash = os.environ.get("WHISPER_TPU_FLASH", "auto")
-    on_tpu = use_flash()
+    on_tpu = use_flash() or INTERPRET
     use_btd = flash in ("auto", "btd") and on_tpu or flash == "btd"
-    # BTD blocks carry 128 columns of adjacent heads; head counts that don't
-    # tile (e.g. tiny test configs with dh=32) use the split-head kernel
+    # tensor parallelism: pallas_calls cannot be split by GSPMD — the BTD
+    # kernel runs under shard_map over the active mesh (heads over MODEL),
+    # and its head-pair tiling constraint applies to the LOCAL head count
+    mesh = active_mesh()
+    tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
     dh_enc = cfg.n_audio_state // n_head
-    heads_per_blk = max(1, 128 // dh_enc)
-    if use_btd and (n_head % heads_per_blk or (dh_enc * heads_per_blk) % 128):
+    if use_btd and (n_head % tp or not btd_heads_ok(n_head // tp, dh_enc)):
         use_btd = False
     use_pallas = (use_flash() if flash == "auto" else flash in ("1", "bhtd"))
+    if tp > 1:
+        use_pallas = False  # split-head kernel has no shard_map wrapper
 
     def block(x, p):
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
@@ -205,7 +213,11 @@ def encoder_forward(
         v = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
         if use_btd:
             # VMEM-resident kernel over the native (B, T, D) layout
-            om = flash_attention_btd(q, k, v, n_head)
+            if tp > 1:
+                om = flash_attention_btd_sharded(q, k, v, n_head, mesh,
+                                                 interpret=INTERPRET)
+            else:
+                om = flash_attention_btd(q, k, v, n_head, interpret=INTERPRET)
         else:
             qh, kh, vh = (_split_heads(t, n_head) for t in (q, k, v))
             if use_pallas:

@@ -36,6 +36,9 @@ import os
 # v5e sweep at turbo B64 (tanh GELU, full encoder): 256 -> 1122 ms,
 # 512 -> 1091, 768 -> 1084 (best; 1500 ctx = 2 ragged tiles), 1024 -> 1201
 Q_TILE = int(os.environ.get("WHISPER_TPU_QTILE", "768"))
+# Run kernels in Pallas interpret mode (CPU dryruns/tests of sharded paths).
+# Resolved once at import — a process-start-only knob, like Q_TILE.
+INTERPRET = os.environ.get("WHISPER_TPU_PALLAS_INTERPRET", "0") == "1"
 _LANE = 128
 
 
@@ -191,6 +194,49 @@ def flash_attention_btd(
         interpret=interpret,
     )(q, k, v)
     return out
+
+
+def flash_attention_btd_sharded(
+    q: jnp.ndarray,  # (B, T, D), D = n_head * dh, head-sharded over MODEL
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    mesh,
+    interpret: bool = False,
+    q_tile: int = Q_TILE,
+) -> jnp.ndarray:
+    """flash_attention_btd under tensor parallelism.
+
+    GSPMD partitions einsums but cannot split a pallas_call, so under a
+    (data, model) mesh the kernel runs inside shard_map: batch over DATA,
+    the head-major D columns over MODEL. Each shard sees its local head
+    count — the 128-column head-pair tiling constraint therefore applies to
+    ``n_head // tp`` (callers must check btd_heads_ok against the LOCAL
+    count). Attention is per-head, so no collective is needed inside; the
+    downstream wo matmul's psum is inserted by GSPMD as usual."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import DATA_AXIS, MODEL_AXIS
+
+    tp = mesh.shape[MODEL_AXIS]
+    if n_head % tp:
+        raise ValueError(f"n_head={n_head} not divisible by TP={tp}")
+    data_ax = DATA_AXIS if q.shape[0] % mesh.shape[DATA_AXIS] == 0 else None
+    spec = P(data_ax, None, MODEL_AXIS if tp > 1 else None)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and the kernel is elementwise in the sharded axes anyway
+    fn = jax.shard_map(
+        functools.partial(flash_attention_btd, n_head=n_head // tp,
+                          interpret=interpret, q_tile=q_tile),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    return fn(q, k, v)
+
+
+def btd_heads_ok(n_head: int, dh: int) -> bool:
+    """True if (n_head, dh) tiles into the BTD kernel's 128-column blocks."""
+    hb = max(1, _LANE // dh)
+    return n_head % hb == 0 and (dh * hb) % _LANE == 0
 
 
 def use_flash() -> bool:

@@ -27,6 +27,22 @@ from ..config import WhisperConfig
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# The mesh the serving/offline path is currently running under, if any.
+# Pallas kernels cannot be auto-partitioned by GSPMD the way einsums are —
+# call sites consult this to wrap kernels in shard_map (or fall back to the
+# XLA lowering) when tensor parallelism is active.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Declare the mesh jitted model code will run under (None to clear)."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
 
 def make_mesh(
     n_data: Optional[int] = None,

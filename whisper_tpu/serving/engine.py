@@ -190,8 +190,15 @@ class ContinuousBatchingEngine:
             # (BASELINE.md scaling target), so one engine never spans hosts.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.sharding import MODEL_AXIS, shard_params
+            from ..parallel.sharding import (
+                MODEL_AXIS,
+                set_active_mesh,
+                shard_params,
+            )
 
+            # declare the mesh for model-code kernel dispatch (the BTD
+            # encoder kernel wraps itself in shard_map under TP)
+            set_active_mesh(mesh)
             n_model = mesh.shape[MODEL_AXIS]
             assert cfg.n_text_head % n_model == 0, (
                 f"n_text_head={cfg.n_text_head} not divisible by TP={n_model}")
@@ -200,6 +207,9 @@ class ContinuousBatchingEngine:
                 mesh, P(None, None, MODEL_AXIS, None, None))
             self._rep_sharding = NamedSharding(mesh, P())
         else:
+            from ..parallel.sharding import set_active_mesh
+
+            set_active_mesh(None)
             self._kv_sharding = self._rep_sharding = None
         from ..sampling import build_suppress_ids
 
