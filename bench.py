@@ -77,9 +77,16 @@ def estimate_flops(cfg, batch: int, prompt_len: int, n_new: int) -> float:
     # budget (models.model.KVCache.create), so attention spans that, not T
     kv_ctx = min(T, -(-(prompt_len + n_new) // 128) * 128)
     prefill = dec_positions(prompt_len, kv_ctx)
-    decode = n_new * dec_positions(1, kv_ctx)
     mel = 2 * B * frames * cfg.n_fft * (cfg.n_fft + 2)    # DFT-as-matmul
-    return float(enc + cross_kv + prefill + decode + mel)
+    decode = n_new * dec_positions(1, kv_ctx)
+    executed = float(enc + cross_kv + prefill + decode + mel)
+    # "useful" variant: self-attention counted only over the positions that
+    # exist at each step (avg prompt_len + n_new/2), the standard
+    # useful-FLOP MFU definition — the chip still executes the full
+    # bucketed span (VERDICT r2 weak #9: report both)
+    useful_dec = sum(dec_positions(1, prompt_len + t + 1) for t in range(n_new))
+    useful = float(enc + cross_kv + prefill + useful_dec + mel)
+    return executed, useful
 
 
 def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
@@ -156,8 +163,9 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
     # Decode length for the FLOP estimate = actual generated tokens (greedy
     # may stop early on eot even with random weights)
     gen = int(np.max(lens)) - prompt.shape[1]  # lens = absolute first-eot index
-    flops = estimate_flops(cfg, batch, prompt.shape[1], max(gen, 1))
+    flops, flops_useful = estimate_flops(cfg, batch, prompt.shape[1], max(gen, 1))
     mfu = flops / wall / peak_flops_per_s()
+    mfu_useful = flops_useful / wall / peak_flops_per_s()
     suffix = ("_kvq" if kv_quant else "") + ("_skvq" if self_kv_quant else "")
     out = {
         "metric": f"rtf_{model}_b{batch}_t{n_tokens}" + suffix,
@@ -165,6 +173,7 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
         "unit": "wall_s/audio_s (lower=better)",
         "vs_baseline": round(baseline_rtf / rtf, 3),
         "mfu": round(mfu, 4),
+        "mfu_useful": round(mfu_useful, 4),
         "audio_s_per_s": round(audio_seconds / wall, 1),
         "compile_s": round(compile_s, 1),
     }
@@ -175,6 +184,33 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
 
 
 def main() -> int:
+    # BENCH_MODE=engine: run the ragged-traffic continuous-batching bench
+    # (benchmarks/engine_bench.py) instead of the offline flagship row —
+    # measures slot churn + tail latency, which the offline path cannot.
+    if os.environ.get("BENCH_MODE") == "engine":
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        cmd = [sys.executable, os.path.join(here, "benchmarks", "engine_bench.py"),
+               "--model", os.environ.get("BENCH_MODEL", "turbo"),
+               "--slots", os.environ.get("BENCH_SLOTS", "64"),
+               "--requests", os.environ.get("BENCH_REQUESTS", "192"),
+               "--rate", os.environ.get("BENCH_RATE", "0")]
+        for flag, env in (("--kv_quant", "BENCH_KV_QUANT"),
+                          ("--self_kv_quant", "BENCH_SELF_KV_QUANT")):
+            if os.environ.get(env, "1") == "1":
+                cmd.append(flag)
+        proc = subprocess.run(cmd, cwd=here, text=True, capture_output=True,
+                              timeout=float(os.environ.get("BENCH_TIME_BUDGET_S",
+                                                           "3000")))
+        sys.stderr.write(proc.stderr[-2000:])
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"[bench] engine mode failed rc={proc.returncode}", file=sys.stderr)
+        return 1
+
     # Defaults resolve in order: env vars > BENCH_DEFAULTS.json > tiny b8.
     # BENCH_DEFAULTS.json is written once the flagship (turbo b64) program
     # has been compiled into this machine's persistent XLA cache — the

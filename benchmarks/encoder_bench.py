@@ -9,6 +9,8 @@ platform ``block_until_ready`` does not block, BENCH_NOTES.md).
 Variants:
   full        encoder_forward as shipped (flash per WHISPER_TPU_FLASH)
   full_xla    encoder_forward with the jnp attention path
+  full_w8a8   encoder_forward with int8 weights + dynamic int8 activations
+              (WHISPER_TPU_W8A8=1; the 2x-MXU mode, gate with quant_gate)
   stem        conv1 + conv2 + pos-emb only
   blocks      transformer stack only, (B, 1500, D) input
   attn        blocks with the MLP removed
@@ -104,7 +106,7 @@ def build(variant: str, cfg, dt):
     # every fn takes (params, x): params must be a jit ARGUMENT — closing
     # over them bakes the weights into the HLO as constants, which the
     # remote compile service rejects (HTTP 413) at turbo size
-    if variant in ("full", "full_xla"):
+    if variant in ("full", "full_xla", "full_w8a8"):
         return "mel", lambda params, mel: encoder_forward(params, mel, cfg, dt)
     if variant == "stem":
         return "mel", lambda params, mel: stem(params["encoder"], mel).astype(jnp.float32)
@@ -136,6 +138,8 @@ def main() -> int:
     args = p.parse_args()
     if args.variant == "full_xla":
         os.environ["WHISPER_TPU_FLASH"] = "0"
+    if args.variant == "full_w8a8":
+        os.environ["WHISPER_TPU_W8A8"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -148,7 +152,12 @@ def main() -> int:
     compilation_cache.enable()
     cfg = get_config(args.model)
     dt = jnp.dtype(args.dtype)
-    params = jax.device_put(cast_floating(init_params(cfg, jax.random.PRNGKey(0)), dt))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    if args.variant == "full_w8a8":
+        from whisper_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params)
+    params = jax.device_put(cast_floating(params, dt))
 
     kind, fn = build(args.variant, cfg, dt)
     rng = np.random.default_rng(0)

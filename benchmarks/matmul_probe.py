@@ -1,0 +1,145 @@
+"""MXU microprobes for the encoder roofline (turbo-B64 shapes).
+
+Answers two questions that gate the round-3 encoder work:
+
+1. int8 speedup — does an int8xint8->int32 dot run ~2x bf16 on this chip
+   (v5e peak: 394 TOPS int8 vs 197 TFLOP/s bf16)? If yes, a W8A8 encoder
+   mode is the honest path below the bf16 FLOP bound.
+2. dh=64 fill — the attention dots contract (q.K^T) or emit (w.V) only 64
+   wide, half the 128-lane MXU. If a dot with 128-deep contraction and HALF
+   the output rows takes the same wall time as the 64-deep full-output dot
+   (same MAC count), the array is depth-limited and block-diagonal head
+   packing could win ~2x; if the 64-deep dot already runs at MAC parity,
+   packing is refuted (VERDICT r2 #6 asks for exactly this measurement).
+
+    python benchmarks/matmul_probe.py --repeats 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, repeats=5):
+    import jax
+
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # force (block_until_ready unreliable on axon)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--loops", type=int, default=8,
+                   help="dots per timed program (amortizes dispatch)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from whisper_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
+    rng = np.random.default_rng(0)
+    results = {}
+    n = args.loops
+
+    def chain(dot, a, w):
+        """n serialized dots (output feeds a cheap reduction into the next
+        input's scale) so per-dot time is wall/n with dispatch amortized."""
+
+        def f(a, w):
+            acc = jnp.float32(0)
+            for _ in range(n):
+                y = dot(a, w)
+                acc = acc + jnp.sum(y[..., :1, :1]).astype(jnp.float32)
+                a = a * (1 + 0 * acc.astype(a.dtype))
+            return acc
+
+        return jax.jit(f)
+
+    # ---- 1. int8 vs bf16 at the MLP shape (the encoder's biggest matmul)
+    M, K, N = 96000, 1280, 5120  # B64 x T1500 tokens
+    a8 = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+    w8 = jnp.asarray(rng.integers(-127, 127, (K, N)), jnp.int8)
+    ab = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    wb = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
+
+    def dot_i8(a, w):
+        return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def dot_bf(a, w):
+        return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.bfloat16)
+
+    t_bf = _time(chain(dot_bf, ab, wb), ab, wb, repeats=args.repeats) / n
+    t_i8 = _time(chain(dot_i8, a8, w8), a8, w8, repeats=args.repeats) / n
+    flops = 2 * M * K * N
+    results["mlp_bf16_ms"] = round(t_bf * 1e3, 3)
+    results["mlp_bf16_tflops"] = round(flops / t_bf / 1e12, 1)
+    results["mlp_int8_ms"] = round(t_i8 * 1e3, 3)
+    results["mlp_int8_tops"] = round(flops / t_i8 / 1e12, 1)
+    results["int8_speedup"] = round(t_bf / t_i8, 2)
+
+    # ---- 1b. int8 vs bf16 at the projection shape
+    M2, K2, N2 = 96000, 1280, 1280
+    a8p, w8p = a8[:, :K2], w8[:K2, :N2]
+    abp, wbp = ab[:, :K2], wb[:K2, :N2]
+    t_bfp = _time(chain(dot_bf, abp, wbp), abp, wbp, repeats=args.repeats) / n
+    t_i8p = _time(chain(dot_i8, a8p, w8p), a8p, w8p, repeats=args.repeats) / n
+    results["proj_bf16_ms"] = round(t_bfp * 1e3, 3)
+    results["proj_int8_ms"] = round(t_i8p * 1e3, 3)
+    results["proj_int8_speedup"] = round(t_bfp / t_i8p, 2)
+
+    # ---- 2. attention-dot fill probe (batched, turbo per-layer shape)
+    # same MAC count both ways: (BH, T, 64)x(BH, 64, T) full outputs vs
+    # (BH/2, T, 128)x(BH/2, 128, T) half the batched outputs
+    BH, T = 64 * 20, 1500
+    q64 = jnp.asarray(rng.standard_normal((BH, T, 64)), jnp.bfloat16)
+    k64 = jnp.asarray(rng.standard_normal((BH, 64, T)), jnp.bfloat16)
+    q128 = jnp.asarray(rng.standard_normal((BH // 2, T, 128)), jnp.bfloat16)
+    k128 = jnp.asarray(rng.standard_normal((BH // 2, 128, T)), jnp.bfloat16)
+
+    def bdot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)
+
+    t64 = _time(chain(bdot, q64, k64), q64, k64, repeats=args.repeats) / n
+    t128 = _time(chain(bdot, q128, k128), q128, k128, repeats=args.repeats) / n
+    results["score_dh64_ms"] = round(t64 * 1e3, 3)
+    results["score_k128_half_out_ms"] = round(t128 * 1e3, 3)
+    # >1.6: depth-64 wastes the array -> packing could win; ~1.0: refuted
+    results["depth64_penalty"] = round(t64 / t128, 2)
+
+    # w.V side: output width 64 vs 128 at equal MACs
+    w64 = jnp.asarray(rng.standard_normal((BH, T, T)), jnp.bfloat16)
+    v64 = jnp.asarray(rng.standard_normal((BH, T, 64)), jnp.bfloat16)
+    w128 = w64[: BH // 2]
+    v128 = jnp.asarray(rng.standard_normal((BH // 2, T, 128)), jnp.bfloat16)
+    tw64 = _time(chain(bdot, w64, v64), w64, v64, repeats=args.repeats) / n
+    tw128 = _time(chain(bdot, w128, v128), w128, v128, repeats=args.repeats) / n
+    results["wv_n64_ms"] = round(tw64 * 1e3, 3)
+    results["wv_n128_half_out_ms"] = round(tw128 * 1e3, 3)
+    results["width64_penalty"] = round(tw64 / tw128, 2)
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

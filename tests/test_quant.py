@@ -227,3 +227,20 @@ def test_int8_logits_emb(rng):
     # int8 per-row quantization: relative error ~2^-7 of the row scale
     denom = np.maximum(np.abs(ref).max(), 1e-3)
     assert np.abs(got - ref).max() / denom < 0.03
+
+
+def test_encoder_w8a8_close_to_fp32(rng, monkeypatch):
+    """W8A8 (int8 activations x int8 weights, the 2x-MXU encoder mode) must
+    stay close to fp32 — attention dots, conv stem and LN remain bf16/fp32
+    islands, so only the projections/MLP carry quant noise."""
+    p = init_params(NANO)
+    qp = quantize_params(p)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 128)).astype(np.float32))
+    ref = np.asarray(encoder_forward(p, mel, NANO))
+    monkeypatch.setenv("WHISPER_TPU_W8A8", "1")
+    got = np.asarray(encoder_forward(qp, mel, NANO))
+    denom = np.maximum(np.abs(ref), 1e-2)
+    assert np.median(np.abs(got - ref) / denom) < 0.08
+    # and plain (float) weights under the flag fall back to weight-only path
+    got_fp = np.asarray(encoder_forward(p, mel, NANO))
+    np.testing.assert_allclose(got_fp, ref, rtol=1e-5, atol=1e-5)

@@ -53,7 +53,7 @@ def test_fp32_control_measures_zero(setup):
 
 @pytest.mark.parametrize("variant",
                          ["int8_weights", "int8_cross_kv", "int8_self_kv",
-                          "int8_all"])
+                          "int8_all", "w8a8"])
 def test_quant_variants_produce_finite_metrics(setup, variant):
     params, mel = setup
     r = run_gate(params, NANO, mel, variant, max_tokens=8)

@@ -703,3 +703,17 @@ def test_engine_beam_longform(nano_params, rng):
         assert eng.stats.beam_requests_total == 3
     finally:
         eng.stop()
+
+
+def test_engine_per_request_max_tokens(engine, rng):
+    """Ragged per-request token budgets: a request's max_tokens caps its own
+    generation without affecting the batch (the slot limit row is per-slot)."""
+    wav = _audio(rng, 0.5)
+    short = engine.submit(Request(audio=wav, language="zh", max_tokens=3))
+    full = engine.submit(Request(audio=wav, language="zh"))
+    r_short, r_full = short.result(timeout=60), full.result(timeout=60)
+    n_short = len(r_short["text"].split()) if r_short["text"] else 0
+    n_full = len(r_full["text"].split()) if r_full["text"] else 0
+    assert n_short <= 3
+    # same audio, engine cap 12: the un-budgeted request may run longer
+    assert n_full >= n_short

@@ -54,8 +54,11 @@ class GateResult:
 # quantization mode but the same kind of accuracy/speed trade: the flagship
 # bench config runs WHISPER_TPU_GELU=tanh (turbo B64 encoder 1213 -> 1084 ms),
 # and this row measures what that approximation costs in logit divergence.
+# "w8a8" = int8 activations x int8 weights for the ENCODER projection/MLP
+# matmuls (models.model._linear_a8; the 2x-MXU-throughput mode) — the TPU
+# analog of the reference's full-graph U16 PTQ encoder.
 VARIANTS = ("fp32", "int8_weights", "int8_cross_kv", "int8_self_kv",
-            "int8_logits", "int8_all", "gelu_tanh")
+            "int8_logits", "int8_all", "gelu_tanh", "w8a8")
 
 
 def _teacher_forced_logits(params, cross_kv, tokens, lengths, cfg, dt,
@@ -108,7 +111,7 @@ def run_gate(
     q_params = params
     kv_quant = variant in ("int8_cross_kv", "int8_all")
     self_kv_quant = variant in ("int8_self_kv", "int8_all")
-    if variant in ("int8_weights", "int8_all"):
+    if variant in ("int8_weights", "int8_all", "w8a8"):
         q_params = quantize_params(params)
     if variant in ("int8_logits", "int8_all"):
         from ..ops.quant import quantize_logits_emb
@@ -119,26 +122,31 @@ def run_gate(
     ref_logits = _teacher_forced_logits(params, ref_ckv, tokens, lengths, cfg,
                                         dt, self_kv_quant=False)
 
-    # GELU mode is read from the environment at trace time (model._gelu), so
-    # the tanh row must force a retrace on both sides of the mode switch.
-    gelu_tanh = variant == "gelu_tanh"
-    saved_gelu = os.environ.get("WHISPER_TPU_GELU")
+    # GELU/W8A8 modes are read from the environment at trace time
+    # (model._gelu / encoder_forward), so those rows must force a retrace on
+    # both sides of the mode switch.
+    env_var, env_val = None, None
+    if variant == "gelu_tanh":
+        env_var, env_val = "WHISPER_TPU_GELU", "tanh"
+    elif variant == "w8a8":
+        env_var, env_val = "WHISPER_TPU_W8A8", "1"
+    saved_env = os.environ.get(env_var) if env_var else None
     try:
-        if gelu_tanh:
+        if env_var:
             np.asarray(ref_logits)  # finish fp32 work before dropping caches
-            os.environ["WHISPER_TPU_GELU"] = "tanh"
+            os.environ[env_var] = env_val
             jax.clear_caches()
         q_ckv = encode_cross_kv(q_params, mel, cfg, dt, kv_quant=kv_quant)
         q_logits = _teacher_forced_logits(q_params, q_ckv, tokens, lengths,
                                           cfg, dt, self_kv_quant=self_kv_quant)
-        if gelu_tanh:
+        if env_var:
             np.asarray(q_logits)
     finally:
-        if gelu_tanh:
-            if saved_gelu is None:
-                os.environ.pop("WHISPER_TPU_GELU", None)
+        if env_var:
+            if saved_env is None:
+                os.environ.pop(env_var, None)
             else:
-                os.environ["WHISPER_TPU_GELU"] = saved_gelu
+                os.environ[env_var] = saved_env
             jax.clear_caches()
 
     P = prompt.shape[1]

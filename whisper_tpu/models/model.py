@@ -84,6 +84,33 @@ def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
     return y
 
 
+def _linear_a8(x: jnp.ndarray, w, b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
+    """W8A8 matmul: dynamic per-token symmetric int8 activations against the
+    int8 weight payload — an int8xint8->int32 MXU dot runs at 2x the bf16
+    peak (v5e: 394 TOPS vs 197 TFLOP/s), which is the only lever below the
+    encoder's bf16 FLOP bound. Scales (activation row x weight out-channel)
+    apply to the int32 product. Used by encoder_forward when
+    ``WHISPER_TPU_W8A8=1`` (trace-time knob, like WHISPER_TPU_GELU); falls
+    back to the weight-only path for non-quantized weights. Accuracy is
+    gated by eval.quant_gate variant ``w8a8`` — the reference's own recipe
+    is full-graph U16 PTQ via Pulsar2 (model_convert/config_whisper_
+    encoder_u16.json), so quantized encoder compute has a direct analog."""
+    from ..ops.quant import QTensor
+
+    if not isinstance(w, QTensor):
+        return _linear(x, w, b, dtype)
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jnp.einsum("...d,de->...e", x8, w.q,
+                   preferred_element_type=jnp.int32)
+    y = ((y.astype(jnp.float32) * sx) * w.s.astype(jnp.float32).reshape(-1)
+         ).astype(dtype)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
 def cast_floating(params, dtype):
     """Cast floating-point leaves to `dtype`; leave int8 QTensor payloads and
     their fp32 scales untouched."""
@@ -205,12 +232,15 @@ def encoder_forward(
     use_pallas = (use_flash() if flash == "auto" else flash in ("1", "bhtd"))
     if tp > 1:
         use_pallas = False  # split-head kernel has no shard_map wrapper
+    # W8A8: int8 activations x int8 weights for the projection/MLP matmuls
+    # (attention dots + conv stem + LN stay bf16 islands)
+    lin = _linear_a8 if os.environ.get("WHISPER_TPU_W8A8") == "1" else _linear
 
     def block(x, p):
         h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
-        q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
-        k = _linear(h, p["attn"]["wk"], None, dt)
-        v = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        q = lin(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+        k = lin(h, p["attn"]["wk"], None, dt)
+        v = lin(h, p["attn"]["wv"], p["attn"]["bv"], dt)
         if use_btd:
             # VMEM-resident kernel over the native (B, T, D) layout
             if tp > 1:
@@ -225,11 +255,11 @@ def encoder_forward(
                 om = _merge_heads(flash_attention(qh, kh, vh))
             else:
                 om = _merge_heads(attention(qh, kh, vh))
-        x = x + _linear(om, p["attn"]["wo"], p["attn"]["bo"], dt)
+        x = x + lin(om, p["attn"]["wo"], p["attn"]["bo"], dt)
 
         h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
-        h = _gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt))
-        x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
+        h = _gelu(lin(h, p["mlp"]["w1"], p["mlp"]["b1"], dt))
+        x = x + lin(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return x, None
 
     x, _ = jax.lax.scan(block, x, enc["blocks"])

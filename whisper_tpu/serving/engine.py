@@ -59,6 +59,10 @@ class Request:
     # no beam at all (python/whisper.py:235 argmax); greedy slots stay the
     # serving default, beam is the quality option.
     beam_size: int = 1
+    # per-request generated-token budget (None = the engine's max_tokens);
+    # capped by the engine's bucketed cache — the slot `limit` row is
+    # already per-slot, so ragged budgets cost nothing
+    max_tokens: Optional[int] = None
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)
     # streaming: called with the partial transcript after each sync round
@@ -415,6 +419,7 @@ class ContinuousBatchingEngine:
                     "wall_seconds": wall,
                     "rtf": wall / max(audio_s, 1e-9),
                     "windows": n,
+                    "tokens": int(sum(r.get("tokens", 0) for r in results)),
                     "no_speech_prob": max(r["no_speech_prob"] for r in results),
                     "avg_logprob": float(sum(lps) / len(lps)),
                     "compression_ratio": max(r["compression_ratio"]
@@ -697,7 +702,9 @@ class ContinuousBatchingEngine:
         # of the pending queue is admitted on subsequent sync rounds
         # (interleaved with decode steps). An idle engine admits whole
         # buckets: best encoder efficiency, nobody to stall.
-        cap = len(free)
+        # never admit more than the largest prefill bucket in one batch (a
+        # configured small-bucket engine admits the rest next round)
+        cap = min(len(free), max(self.prefill_buckets))
         if any(r is not None for r in self._slot_req):
             cap = min(cap, self.admit_chunk)
         newcomers: List[Request] = []
@@ -811,15 +818,19 @@ class ContinuousBatchingEngine:
         slots = self._free_slots()[:n]
         slot_idx = np.full((bucket,), self.B, np.int32)
         slot_idx[:n] = slots
-        lim = self.cfg.n_text_ctx
-        if self.max_tokens:
-            lim = min(lim, P + self.max_tokens)
-        lim = min(lim, self.kv_ctx)  # never write past the bucketed cache
+        # per-slot token budget: request override > engine default, always
+        # capped by the bucketed cache (never write past it)
+        lim = np.full((bucket,), min(self.cfg.n_text_ctx, self.kv_ctx), np.int32)
+        for i, r in enumerate(newcomers):
+            budget = r.max_tokens or self.max_tokens
+            if budget:
+                lim[i] = min(lim[i], P + budget)
 
         (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
          self.fstate, self.nsp, kv_k, kv_v, self.cross) = self._admit_fn(
             jnp.asarray(slot_idx), logits, kvk, kvv, src_cross,
-            first, first_lp, nsp, jnp.full((bucket,), P, jnp.int32), jnp.int32(lim),
+            first, first_lp, nsp, jnp.full((bucket,), P, jnp.int32),
+            jnp.asarray(lim),
             self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
             self.fstate, self.nsp,
             self.kv[0], self.kv[1], self.cross,
@@ -934,6 +945,7 @@ class ContinuousBatchingEngine:
                     "audio_seconds": audio_s,
                     "wall_seconds": wall,
                     "rtf": wall / max(audio_s, 1e-9),
+                    "tokens": int(len(ids)),
                     "no_speech_prob": nsp,
                     "avg_logprob": avg_lp,
                     "compression_ratio": comp,
@@ -1084,6 +1096,7 @@ class ContinuousBatchingEngine:
                     "audio_seconds": audio_s,
                     "wall_seconds": wall,
                     "rtf": wall / max(audio_s, 1e-9),
+                    "tokens": n_tok,
                     "no_speech_prob": float(nsp_h[i]),
                     "avg_logprob": float(lp_h[i]),
                     "compression_ratio": comp,
