@@ -1118,6 +1118,26 @@ class ContinuousBatchingEngine:
                         r.future.set_exception(e)
             self.stats.busy_seconds_total += time.perf_counter() - t0
 
+    def _tick(self):
+        """One sync round: expire, admit (bounded by admit_chunk while slots
+        are active), step every active slot steps_per_sync tokens, harvest.
+        Factored out of _run so tests can drive rounds deterministically —
+        in-flight decodes advance every round even mid-admission-burst."""
+        t0 = time.perf_counter()
+        self._expire_slots()
+        self._admit_new()
+        if any(r is not None for r in self._slot_req):
+            (self.tokens, self.offsets, self.done, self.rs, self.fstate,
+             kv_k, kv_v) = \
+                self._step_fn(self.params, self.tokens, self.offsets,
+                              self.active, self.done, self.limit, self.rs,
+                              self.fstate,
+                              self.kv[0], self.kv[1], self.cross,
+                              self.steps_per_sync)
+            self.kv = self._cache_cls(kv_k, kv_v)
+            self._harvest()
+        self.stats.busy_seconds_total += time.perf_counter() - t0
+
     def _run(self):
         while not self._stop.is_set():
             try:
@@ -1128,19 +1148,6 @@ class ContinuousBatchingEngine:
                         self._pending.append(self._queue.get(timeout=0.05))
                     except queue.Empty:
                         continue
-                t0 = time.perf_counter()
-                self._expire_slots()
-                self._admit_new()
-                if any(r is not None for r in self._slot_req):
-                    (self.tokens, self.offsets, self.done, self.rs, self.fstate,
-                     kv_k, kv_v) = \
-                        self._step_fn(self.params, self.tokens, self.offsets,
-                                      self.active, self.done, self.limit, self.rs,
-                                      self.fstate,
-                                      self.kv[0], self.kv[1], self.cross,
-                                      self.steps_per_sync)
-                    self.kv = self._cache_cls(kv_k, kv_v)
-                    self._harvest()
-                self.stats.busy_seconds_total += time.perf_counter() - t0
+                self._tick()
             except Exception as e:  # noqa: BLE001 — engine thread must survive
                 self._fail_inflight(e)
