@@ -66,6 +66,10 @@ def _run_dp(args) -> int:
                 str(args.compression_ratio_threshold)]
         if args.admit_chunk:
             cmd += ["--admit_chunk", str(args.admit_chunk)]
+        cmd += ["--max_beam_size", str(args.max_beam_size),
+                "--beam_batch_max", str(args.beam_batch_max)]
+        if args.length_penalty is not None:
+            cmd += ["--length_penalty", str(args.length_penalty)]
         for flag in ("timestamps", "kv_quant", "self_kv_quant"):
             if getattr(args, flag):
                 cmd.append(f"--{flag}")
@@ -154,6 +158,14 @@ def main(argv=None) -> int:
                    help="max newcomers encoded per sync round while slots "
                         "are active (default slots/4); bounds the decode "
                         "stall one admission can cause")
+    p.add_argument("--max_beam_size", type=int, default=8,
+                   help="per-request beam=K ceiling (each distinct K is one "
+                        "compile of the beam worker's program)")
+    p.add_argument("--beam_batch_max", type=int, default=8,
+                   help="beam worker micro-batch size")
+    p.add_argument("--length_penalty", type=float, default=None,
+                   help="GoogleNMT length-penalty alpha for beam scoring "
+                        "(default: mean logprob)")
     args = p.parse_args(argv)
 
     if args.backends:
@@ -204,6 +216,9 @@ def main(argv=None) -> int:
                                      if args.compression_ratio_threshold < 0
                                      else args.compression_ratio_threshold),
         admit_chunk=args.admit_chunk,
+        max_beam_size=args.max_beam_size,
+        beam_batch_max=args.beam_batch_max,
+        length_penalty=args.length_penalty,
     ).start()
 
     srv = make_server(engine, args.host, args.port, request_timeout_s=args.timeout)

@@ -19,6 +19,7 @@ def transcribe_file(
     task: str = "transcribe",
     timeout: float = 300.0,
     use_multipart: bool = True,
+    beam: int = 1,
 ) -> dict:
     url = f"http://{host}:{port}/asr"
     if use_multipart:
@@ -33,6 +34,9 @@ def transcribe_file(
             'Content-Disposition: form-data; name="task"\r\n\r\n'
             f"{task}\r\n"
             f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="beam"\r\n\r\n'
+            f"{beam}\r\n"
+            f"--{boundary}\r\n"
             'Content-Disposition: form-data; name="wav"; filename="audio.wav"\r\n'
             "Content-Type: audio/wav\r\n\r\n"
         ).encode() + wav + f"\r\n--{boundary}--\r\n".encode()
@@ -46,7 +50,8 @@ def transcribe_file(
         req = urllib.request.Request(
             url, data=pcm,
             headers={"Content-Type": "application/octet-stream",
-                     "X-Language": language, "X-Task": task})
+                     "X-Language": language, "X-Task": task,
+                     "X-Beam": str(beam)})
     with urllib.request.urlopen(req, timeout=timeout) as r:
         return json.load(r)
 
@@ -64,9 +69,12 @@ def main(argv=None) -> int:
     p.add_argument("--language", "-l", default="zh")
     p.add_argument("--task", default="transcribe")
     p.add_argument("--pcm", action="store_true", help="use the raw-PCM protocol")
+    p.add_argument("--beam", type=int, default=1,
+                   help="beam size (1 = greedy slots; >1 = beam worker)")
     args = p.parse_args(argv)
     res = transcribe_file(args.wav, args.host, args.port, args.language,
-                          args.task, use_multipart=not args.pcm)
+                          args.task, use_multipart=not args.pcm,
+                          beam=args.beam)
     print(json.dumps(res, ensure_ascii=False, indent=2))
     return 0 if res.get("success") else 1
 
