@@ -109,11 +109,17 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
 
     t0 = time.perf_counter()
     params = init_params(cfg, jax.random.PRNGKey(0))
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        params,
-    )
-    params = jax.device_put(params)
+    if os.environ.get("BENCH_W8A8") == "1":
+        # W8A8 encoder mode: int8 weights + dynamic int8 activations on the
+        # encoder's projections/MLP (models.model._linear_a8); the decoder
+        # runs the same int8 weights in weight-only mode
+        from whisper_tpu.ops.quant import quantize_params
+
+        os.environ["WHISPER_TPU_W8A8"] = "1"
+        params = quantize_params(params)
+    from whisper_tpu.models.model import cast_floating
+
+    params = jax.device_put(cast_floating(params, jnp.bfloat16))
     jax.block_until_ready(params)
     print(f"[bench] params ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
@@ -166,7 +172,8 @@ def run_bench(model: str, batch: int, n_tokens: int, repeats: int) -> dict:
     flops, flops_useful = estimate_flops(cfg, batch, prompt.shape[1], max(gen, 1))
     mfu = flops / wall / peak_flops_per_s()
     mfu_useful = flops_useful / wall / peak_flops_per_s()
-    suffix = ("_kvq" if kv_quant else "") + ("_skvq" if self_kv_quant else "")
+    suffix = (("_kvq" if kv_quant else "") + ("_skvq" if self_kv_quant else "")
+              + ("_w8a8" if os.environ.get("BENCH_W8A8") == "1" else ""))
     out = {
         "metric": f"rtf_{model}_b{batch}_t{n_tokens}" + suffix,
         "value": round(rtf, 6),
@@ -255,11 +262,12 @@ def main() -> int:
             print(f"[bench] {model} exceeded {budget:.0f}s budget "
                   f"(cold compile?); falling back to tiny b8", file=sys.stderr)
         model, batch = "tiny", 8
-        for k in ("kv_quant", "self_kv_quant", "gelu"):
+        for k in ("kv_quant", "self_kv_quant", "gelu", "w8a8"):
             defaults.pop(k, None)
         os.environ.pop("BENCH_KV_QUANT", None)
         os.environ.pop("BENCH_SELF_KV_QUANT", None)
-    for k in ("kv_quant", "self_kv_quant"):
+        os.environ.pop("BENCH_W8A8", None)
+    for k in ("kv_quant", "self_kv_quant", "w8a8"):
         env = "BENCH_" + k.upper()
         if env not in os.environ and defaults.get(k):
             os.environ[env] = "1"
