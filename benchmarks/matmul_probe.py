@@ -86,24 +86,28 @@ def main() -> int:
         return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.bfloat16)
 
+    def note(k, v):
+        results[k] = v
+        print(f"[probe] {k} = {v}", file=sys.stderr, flush=True)
+
     t_bf = _time(chain(dot_bf, ab, wb), ab, wb, repeats=args.repeats) / n
-    t_i8 = _time(chain(dot_i8, a8, w8), a8, w8, repeats=args.repeats) / n
     flops = 2 * M * K * N
-    results["mlp_bf16_ms"] = round(t_bf * 1e3, 3)
-    results["mlp_bf16_tflops"] = round(flops / t_bf / 1e12, 1)
-    results["mlp_int8_ms"] = round(t_i8 * 1e3, 3)
-    results["mlp_int8_tops"] = round(flops / t_i8 / 1e12, 1)
-    results["int8_speedup"] = round(t_bf / t_i8, 2)
+    note("mlp_bf16_ms", round(t_bf * 1e3, 3))
+    note("mlp_bf16_tflops", round(flops / t_bf / 1e12, 1))
+    t_i8 = _time(chain(dot_i8, a8, w8), a8, w8, repeats=args.repeats) / n
+    note("mlp_int8_ms", round(t_i8 * 1e3, 3))
+    note("mlp_int8_tops", round(flops / t_i8 / 1e12, 1))
+    note("int8_speedup", round(t_bf / t_i8, 2))
 
     # ---- 1b. int8 vs bf16 at the projection shape
     M2, K2, N2 = 96000, 1280, 1280
     a8p, w8p = a8[:, :K2], w8[:K2, :N2]
     abp, wbp = ab[:, :K2], wb[:K2, :N2]
     t_bfp = _time(chain(dot_bf, abp, wbp), abp, wbp, repeats=args.repeats) / n
+    note("proj_bf16_ms", round(t_bfp * 1e3, 3))
     t_i8p = _time(chain(dot_i8, a8p, w8p), a8p, w8p, repeats=args.repeats) / n
-    results["proj_bf16_ms"] = round(t_bfp * 1e3, 3)
-    results["proj_int8_ms"] = round(t_i8p * 1e3, 3)
-    results["proj_int8_speedup"] = round(t_bfp / t_i8p, 2)
+    note("proj_int8_ms", round(t_i8p * 1e3, 3))
+    note("proj_int8_speedup", round(t_bfp / t_i8p, 2))
 
     # ---- 2. attention-dot fill probe (batched, turbo per-layer shape)
     # same MAC count both ways: (BH, T, 64)x(BH, 64, T) full outputs vs
@@ -120,11 +124,11 @@ def main() -> int:
             preferred_element_type=jnp.bfloat16)
 
     t64 = _time(chain(bdot, q64, k64), q64, k64, repeats=args.repeats) / n
+    note("score_dh64_ms", round(t64 * 1e3, 3))
     t128 = _time(chain(bdot, q128, k128), q128, k128, repeats=args.repeats) / n
-    results["score_dh64_ms"] = round(t64 * 1e3, 3)
-    results["score_k128_half_out_ms"] = round(t128 * 1e3, 3)
+    note("score_k128_half_out_ms", round(t128 * 1e3, 3))
     # >1.6: depth-64 wastes the array -> packing could win; ~1.0: refuted
-    results["depth64_penalty"] = round(t64 / t128, 2)
+    note("depth64_penalty", round(t64 / t128, 2))
 
     # w.V side: output width 64 vs 128 at equal MACs
     w64 = jnp.asarray(rng.standard_normal((BH, T, T)), jnp.bfloat16)
@@ -132,10 +136,10 @@ def main() -> int:
     w128 = w64[: BH // 2]
     v128 = jnp.asarray(rng.standard_normal((BH // 2, T, 128)), jnp.bfloat16)
     tw64 = _time(chain(bdot, w64, v64), w64, v64, repeats=args.repeats) / n
+    note("wv_n64_ms", round(tw64 * 1e3, 3))
     tw128 = _time(chain(bdot, w128, v128), w128, v128, repeats=args.repeats) / n
-    results["wv_n64_ms"] = round(tw64 * 1e3, 3)
-    results["wv_n128_half_out_ms"] = round(tw128 * 1e3, 3)
-    results["width64_penalty"] = round(tw64 / tw128, 2)
+    note("wv_n128_half_out_ms", round(tw128 * 1e3, 3))
+    note("width64_penalty", round(tw64 / tw128, 2))
 
     print(json.dumps(results))
     return 0
