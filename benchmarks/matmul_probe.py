@@ -58,18 +58,22 @@ def main() -> int:
     n = args.loops
 
     def chain(dot, a, w):
-        """n serialized dots (output feeds a cheap reduction into the next
-        input's scale) so per-dot time is wall/n with dispatch amortized."""
+        """n dots per program so per-dot time is wall/n with dispatch
+        amortized. Each iteration reads a DIFFERENT slice of an (L0+n)-row
+        buffer — distinct inputs, so CSE cannot collapse the dots (the first
+        version perturbed with `* (1 + 0*acc)`, which XLA folded away and
+        the n dots collapsed to one: 'measured' bf16 exceeded chip peak)."""
+        pad = jnp.concatenate([a, a[:n]], axis=0)
+        L0 = a.shape[0]
 
-        def f(a, w):
+        def f(pad, w):
             acc = jnp.float32(0)
-            for _ in range(n):
-                y = dot(a, w)
+            for i in range(n):
+                y = dot(jax.lax.slice_in_dim(pad, i, i + L0, axis=0), w)
                 acc = acc + jnp.sum(y[..., :1, :1]).astype(jnp.float32)
-                a = a * (1 + 0 * acc.astype(a.dtype))
             return acc
 
-        return jax.jit(f)
+        return jax.jit(f), pad
 
     # ---- 1. int8 vs bf16 at the MLP shape (the encoder's biggest matmul)
     M, K, N = 96000, 1280, 5120  # B64 x T1500 tokens
@@ -90,11 +94,13 @@ def main() -> int:
         results[k] = v
         print(f"[probe] {k} = {v}", file=sys.stderr, flush=True)
 
-    t_bf = _time(chain(dot_bf, ab, wb), ab, wb, repeats=args.repeats) / n
+    f, pa = chain(dot_bf, ab, wb)
+    t_bf = _time(f, pa, wb, repeats=args.repeats) / n
     flops = 2 * M * K * N
     note("mlp_bf16_ms", round(t_bf * 1e3, 3))
     note("mlp_bf16_tflops", round(flops / t_bf / 1e12, 1))
-    t_i8 = _time(chain(dot_i8, a8, w8), a8, w8, repeats=args.repeats) / n
+    f, pa = chain(dot_i8, a8, w8)
+    t_i8 = _time(f, pa, w8, repeats=args.repeats) / n
     note("mlp_int8_ms", round(t_i8 * 1e3, 3))
     note("mlp_int8_tops", round(flops / t_i8 / 1e12, 1))
     note("int8_speedup", round(t_bf / t_i8, 2))
@@ -103,9 +109,11 @@ def main() -> int:
     M2, K2, N2 = 96000, 1280, 1280
     a8p, w8p = a8[:, :K2], w8[:K2, :N2]
     abp, wbp = ab[:, :K2], wb[:K2, :N2]
-    t_bfp = _time(chain(dot_bf, abp, wbp), abp, wbp, repeats=args.repeats) / n
+    f, pa = chain(dot_bf, abp, wbp)
+    t_bfp = _time(f, pa, wbp, repeats=args.repeats) / n
     note("proj_bf16_ms", round(t_bfp * 1e3, 3))
-    t_i8p = _time(chain(dot_i8, a8p, w8p), a8p, w8p, repeats=args.repeats) / n
+    f, pa = chain(dot_i8, a8p, w8p)
+    t_i8p = _time(f, pa, w8p, repeats=args.repeats) / n
     note("proj_int8_ms", round(t_i8p * 1e3, 3))
     note("proj_int8_speedup", round(t_bfp / t_i8p, 2))
 
@@ -123,9 +131,11 @@ def main() -> int:
             a, w, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.bfloat16)
 
-    t64 = _time(chain(bdot, q64, k64), q64, k64, repeats=args.repeats) / n
+    f, pa = chain(bdot, q64, k64)
+    t64 = _time(f, pa, k64, repeats=args.repeats) / n
     note("score_dh64_ms", round(t64 * 1e3, 3))
-    t128 = _time(chain(bdot, q128, k128), q128, k128, repeats=args.repeats) / n
+    f, pa = chain(bdot, q128, k128)
+    t128 = _time(f, pa, k128, repeats=args.repeats) / n
     note("score_k128_half_out_ms", round(t128 * 1e3, 3))
     # >1.6: depth-64 wastes the array -> packing could win; ~1.0: refuted
     note("depth64_penalty", round(t64 / t128, 2))
@@ -135,9 +145,11 @@ def main() -> int:
     v64 = jnp.asarray(rng.standard_normal((BH, T, 64)), jnp.bfloat16)
     w128 = w64[: BH // 2]
     v128 = jnp.asarray(rng.standard_normal((BH // 2, T, 128)), jnp.bfloat16)
-    tw64 = _time(chain(bdot, w64, v64), w64, v64, repeats=args.repeats) / n
+    f, pa = chain(bdot, w64, v64)
+    tw64 = _time(f, pa, v64, repeats=args.repeats) / n
     note("wv_n64_ms", round(tw64 * 1e3, 3))
-    tw128 = _time(chain(bdot, w128, v128), w128, v128, repeats=args.repeats) / n
+    f, pa = chain(bdot, w128, v128)
+    tw128 = _time(f, pa, v128, repeats=args.repeats) / n
     note("wv_n128_half_out_ms", round(tw128 * 1e3, 3))
     note("width64_penalty", round(tw64 / tw128, 2))
 
