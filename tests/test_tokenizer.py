@@ -139,3 +139,41 @@ def test_en_vocab_missing_raises_precise_remediation(monkeypatch):
         get_tokenizer(multilingual=False)
     # the vendored multilingual path still resolves
     assert find_vocab_file(multilingual=True).endswith("multilingual.tiktoken")
+
+
+def test_reference_model_matrix_presets():
+    """Every size the reference toolchain exports (export_onnx.py:36-56)
+    resolves to a preset with the public architecture dims."""
+    from whisper_tpu.config import get_config
+
+    matrix = {
+        # name: (n_mels, d, enc_layers, dec_layers, vocab, multilingual)
+        "tiny": (80, 384, 4, 4, 51865, True),
+        "tiny.en": (80, 384, 4, 4, 51864, False),
+        "base": (80, 512, 6, 6, 51865, True),
+        "base.en": (80, 512, 6, 6, 51864, False),
+        "small": (80, 768, 12, 12, 51865, True),
+        "small.en": (80, 768, 12, 12, 51864, False),
+        "medium": (80, 1024, 24, 24, 51865, True),
+        "medium.en": (80, 1024, 24, 24, 51864, False),
+        "medium-aishell": (80, 1024, 24, 24, 51865, True),
+        "large-v1": (80, 1280, 32, 32, 51865, True),
+        "large-v2": (80, 1280, 32, 32, 51865, True),
+        "large-v3": (128, 1280, 32, 32, 51866, True),
+        "large": (128, 1280, 32, 32, 51866, True),
+        "turbo": (128, 1280, 32, 4, 51866, True),
+        "large-v3-turbo": (128, 1280, 32, 4, 51866, True),
+        "distil-small.en": (80, 768, 12, 4, 51864, False),
+        "distil-medium.en": (80, 1024, 24, 2, 51864, False),
+        "distil-large-v2": (80, 1280, 32, 2, 51865, True),
+        "distil-large-v3": (128, 1280, 32, 2, 51866, True),
+        "distil-large-v3.5": (128, 1280, 32, 2, 51866, True),
+    }
+    for name, (mels, d, el, dl, vocab, multi) in matrix.items():
+        cfg = get_config(name)
+        assert cfg.n_mels == mels, name
+        assert cfg.n_audio_state == cfg.n_text_state == d, name
+        assert cfg.n_audio_layer == el and cfg.n_text_layer == dl, name
+        assert cfg.n_vocab == vocab, name
+        assert cfg.is_multilingual == multi, name
+        assert cfg.head_dim_text == 64, name  # every Whisper size

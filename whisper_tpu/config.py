@@ -183,9 +183,19 @@ PRESETS = {
     "turbo": _P(n_mels=128, n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
                 n_text_state=1280, n_text_head=20, n_text_layer=4, n_vocab=51866,
                 num_languages=100),
+    "large-v1": _P(n_mels=80, n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                   n_text_state=1280, n_text_head=20, n_text_layer=32, n_vocab=51865),
     "distil-large-v3": _P(n_mels=128, n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
                           n_text_state=1280, n_text_head=20, n_text_layer=2, n_vocab=51866,
                           num_languages=100),
+    # distil-whisper family (HF distil-whisper model cards): full-depth
+    # encoder, shallow decoder. distil-large-v2 keeps the large-v2
+    # multilingual vocab/80 mels; v3.5 the large-v3 layout.
+    "distil-large-v2": _P(n_mels=80, n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                          n_text_state=1280, n_text_head=20, n_text_layer=2, n_vocab=51865),
+    "distil-large-v3.5": _P(n_mels=128, n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                            n_text_state=1280, n_text_head=20, n_text_layer=2, n_vocab=51866,
+                            num_languages=100),
     # tiny test-only preset: real layout, toy dims (fast CPU tests)
     "test-nano": _P(n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=2, n_audio_layer=2,
                     n_text_ctx=32, n_text_state=64, n_text_head=2, n_text_layer=2, n_vocab=51865),
@@ -199,8 +209,23 @@ for _sz in ("tiny", "base", "small", "medium"):
     _p.update(n_vocab=51864, is_multilingual=False)
     PRESETS[f"{_sz}.en"] = _p
 
+# English-only distil models (distil-whisper): gpt2 vocab base like the
+# OpenAI .en checkpoints; shallow decoders (distil-small.en keeps 4 decoder
+# layers — 2 was below quality at that size, per the model card)
+PRESETS["distil-small.en"] = _P(
+    n_mels=80, n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+    n_text_state=768, n_text_head=12, n_text_layer=4,
+    n_vocab=51864, is_multilingual=False)
+PRESETS["distil-medium.en"] = _P(
+    n_mels=80, n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+    n_text_state=1024, n_text_head=16, n_text_layer=2,
+    n_vocab=51864, is_multilingual=False)
+
 PRESETS["large"] = PRESETS["large-v3"]
 PRESETS["large-v3-turbo"] = PRESETS["turbo"]
+# icefall fine-tune served by the reference (export_onnx.py:429-506):
+# medium dims, weights swapped at load time
+PRESETS["medium-aishell"] = PRESETS["medium"]
 
 
 def get_config(name: str, **overrides) -> WhisperConfig:
