@@ -746,3 +746,76 @@ def test_engine_active_slots_advance_during_admission_burst(nano_params, rng):
     # stall across the admission sequence)
     deltas = [b - a for a, b in zip(offsets_seen, offsets_seen[1:])]
     assert all(d > 0 for d in deltas), (offsets_seen, admitted)
+
+
+# ---------------------------------------------------- temperature / quality ladder
+
+def test_engine_sampled_request(engine, rng):
+    """temperature > 0 routes to the aux worker's categorical-sampling
+    decode; t=0 stays on the greedy slots."""
+    wav = _audio(rng, 0.5)
+    res = engine.transcribe(wav, language="zh", timeout=120)
+    res_t = engine.submit(Request(audio=wav, language="zh",
+                                  temperature=0.8)).result(timeout=120)
+    assert res_t["success"]
+    assert res_t["temperature"] == 0.8
+    assert res.get("temperature", 0.0) == 0.0
+    with pytest.raises(ValueError, match="temperature"):
+        engine.submit(Request(audio=wav, temperature=3.0))
+
+
+def test_engine_temperature_ladder_retries(nano_params, rng):
+    """OpenAI retry semantics at the serving level: a result failing the
+    logprob criterion re-decodes through the ladder; when the ladder is
+    exhausted the last attempt resolves, flagged low-quality."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=8, apply_filters=False,
+        logprob_threshold=100.0,          # impossible: every decode "fails"
+        no_speech_threshold=None,         # keep the silence gate out of it
+        compression_ratio_threshold=None,
+        temperature_fallback=(0.5, 1.0)).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.5), language="zh", timeout=180)
+        assert res["success"]
+        assert res["quality_ok"] is False          # ladder exhausted
+        assert res["temperature"] == 1.0           # last rung
+        assert res["attempts"] == 3                # greedy + 2 retries
+        assert eng.stats.retries_total == 2
+        assert eng.stats.requests_total == 1       # counted once
+    finally:
+        eng.stop()
+
+
+def test_engine_ladder_skips_silence(nano_params, rng):
+    """Silence-gated results are skipped, not retried (OpenAI semantics)."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=8, apply_filters=False,
+        no_speech_threshold=-1.0,         # everything counts as silence
+        logprob_threshold=100.0,          # and fails the logprob criterion
+        compression_ratio_threshold=None,
+        temperature_fallback=(0.5, 1.0)).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.4), language="zh", timeout=120)
+        assert res["success"]
+        assert res["text"] == ""                   # silenced
+        assert eng.stats.retries_total == 0        # never retried
+        assert res["attempts"] == 1
+    finally:
+        eng.stop()
+
+
+def test_http_temperature_param(http_server, rng):
+    wav = _audio(rng, 0.4)
+    req = urllib.request.Request(
+        f"{http_server}/asr?language=zh&temperature=0.7", data=wav.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    res = json.loads(urllib.request.urlopen(req, timeout=120).read())
+    assert res["success"] and res["temperature"] == 0.7
+    bad = urllib.request.Request(
+        f"{http_server}/asr?temperature=9", data=wav.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad, timeout=30)
+    assert ei.value.code == 400

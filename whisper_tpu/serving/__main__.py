@@ -67,7 +67,8 @@ def _run_dp(args) -> int:
         if args.admit_chunk:
             cmd += ["--admit_chunk", str(args.admit_chunk)]
         cmd += ["--max_beam_size", str(args.max_beam_size),
-                "--beam_batch_max", str(args.beam_batch_max)]
+                "--beam_batch_max", str(args.beam_batch_max),
+                "--temperature_fallback", args.temperature_fallback]
         if args.length_penalty is not None:
             cmd += ["--length_penalty", str(args.length_penalty)]
         for flag in ("timestamps", "kv_quant", "self_kv_quant"):
@@ -166,6 +167,9 @@ def main(argv=None) -> int:
     p.add_argument("--length_penalty", type=float, default=None,
                    help="GoogleNMT length-penalty alpha for beam scoring "
                         "(default: mean logprob)")
+    p.add_argument("--temperature_fallback", default="0.2,0.4,0.6,0.8,1.0",
+                   help="comma-separated retry-ladder temperatures for "
+                        "low-quality results ('' disables)")
     args = p.parse_args(argv)
 
     if args.backends:
@@ -219,6 +223,8 @@ def main(argv=None) -> int:
         max_beam_size=args.max_beam_size,
         beam_batch_max=args.beam_batch_max,
         length_penalty=args.length_penalty,
+        temperature_fallback=tuple(
+            float(x) for x in args.temperature_fallback.split(",") if x),
     ).start()
 
     srv = make_server(engine, args.host, args.port, request_timeout_s=args.timeout)

@@ -63,6 +63,13 @@ class Request:
     # capped by the engine's bucketed cache — the slot `limit` row is
     # already per-slot, so ragged budgets cost nothing
     max_tokens: Optional[int] = None
+    # sampling temperature: 0 = greedy slots (or beam if beam_size>1);
+    # t > 0 routes to the aux worker's sampled decode (OpenAI semantics:
+    # beam only at t=0, categorical sampling above). The engine's quality
+    # ladder bumps this automatically on low-quality results.
+    temperature: float = 0.0
+    # internal: temperature-ladder attempt counter (0 = first decode)
+    _attempt: int = 0
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)
     # streaming: called with the partial transcript after each sync round
@@ -102,6 +109,7 @@ class EngineStats:
     no_speech_total: int = 0      # requests gated to "" by the silence rule
     low_quality_total: int = 0    # compression-ratio / logprob criteria failed
     beam_requests_total: int = 0  # requests served by the beam worker
+    retries_total: int = 0        # temperature-ladder re-decodes
 
     def snapshot(self) -> dict:
         d = dict(self.__dict__)
@@ -149,6 +157,7 @@ class ContinuousBatchingEngine:
         beam_batch_max: int = 8,
         max_beam_size: int = 8,
         length_penalty: Optional[float] = None,
+        temperature_fallback: Optional[Sequence[float]] = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -182,6 +191,14 @@ class ContinuousBatchingEngine:
         self.beam_batch_max = beam_batch_max
         self.max_beam_size = max_beam_size
         self.length_penalty = length_penalty
+        # OpenAI transcribe's retry ladder: a harvest failing the
+        # compression/logprob criteria (and not silence-gated) re-decodes on
+        # the aux worker at the next temperature instead of resolving —
+        # matching pipeline.Pipeline.temperature_fallback at the serving
+        # level. Opt-in here (the server CLI enables it by default): with
+        # random-init weights every decode fails the logprob criterion, so
+        # library users/tests get deterministic single-pass results.
+        self.temperature_fallback = tuple(temperature_fallback or ())
 
         from ..models.model import cast_floating
 
@@ -326,9 +343,11 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"beam_size {req.beam_size} exceeds the engine cap "
                 f"{self.max_beam_size}")
+        if not (0.0 <= req.temperature <= 2.0):
+            raise ValueError(f"temperature {req.temperature} not in [0, 2]")
         if len(req.audio) > N_SAMPLES:
             return self._submit_longform(req)
-        if req.beam_size > 1:
+        if req.beam_size > 1 or req.temperature > 0:
             return self._submit_beam(req)
         try:
             self._queue.put_nowait(req)
@@ -435,7 +454,8 @@ class ContinuousBatchingEngine:
         for i, w in enumerate(waves):
             child = Request(audio=w, language=req.language, task=req.task,
                             deadline_s=req.deadline_s,
-                            beam_size=req.beam_size)
+                            beam_size=req.beam_size,
+                            temperature=req.temperature)
             # deadline is relative to the PARENT's arrival, not the window's
             child.enqueued_at = req.enqueued_at
             if req.on_partial is not None:
@@ -444,7 +464,7 @@ class ContinuousBatchingEngine:
         for i, child in enumerate(children):
             child.future.add_done_callback(functools.partial(on_child_done, i))
             try:
-                if child.beam_size > 1:
+                if child.beam_size > 1 or child.temperature > 0:
                     self._submit_beam(child)
                 else:
                     self._queue.put_nowait(child)
@@ -866,10 +886,10 @@ class ContinuousBatchingEngine:
 
     def _quality_gate(self, text: str, nsp: float, avg_lp: float):
         """Harvest-time quality gates (longform.silence_mask / OpenAI
-        transcribe semantics): silence unless the decode is confident anyway;
-        compression/logprob failures are flagged, not retried. Shared by the
-        greedy harvest and the beam worker. Returns (text, comp, quality_ok)
-        and bumps the gate counters."""
+        transcribe semantics): silence unless the decode is confident
+        anyway; compression/logprob failures feed the temperature ladder.
+        Shared by the greedy harvest and the aux worker. Returns
+        (text, comp, quality_ok, silenced) and bumps the gate counters."""
         comp = self._compression_ratio(text)
         quality_ok = True
         if ((self.compression_ratio_threshold is not None
@@ -878,13 +898,40 @@ class ContinuousBatchingEngine:
                     and avg_lp < self.logprob_threshold)):
             quality_ok = False
             self.stats.low_quality_total += 1
+        silenced = False
         if (self.no_speech_threshold is not None
                 and nsp > self.no_speech_threshold
                 and not (self.logprob_threshold is not None
                          and avg_lp > self.logprob_threshold)):
             text = ""
+            silenced = True
             self.stats.no_speech_total += 1
-        return text, comp, quality_ok
+        return text, comp, quality_ok, silenced
+
+    def _maybe_retry(self, req: Request, quality_ok: bool,
+                     silenced: bool) -> bool:
+        """OpenAI retry criteria: repetitive/low-confidence results re-decode
+        at the next ladder temperature (silence is skipped, not retried).
+        Returns True if the request was re-enqueued on the aux worker —
+        the caller must NOT resolve its future."""
+        if quality_ok or silenced or not self.temperature_fallback:
+            return False
+        # only climb: a request already decoded at t skips rungs <= t
+        while (req._attempt < len(self.temperature_fallback)
+               and self.temperature_fallback[req._attempt] <= req.temperature):
+            req._attempt += 1
+        if req._attempt >= len(self.temperature_fallback):
+            return False
+        if req.future.done() or req.future.cancelled() or req.expired():
+            return False
+        req.temperature = self.temperature_fallback[req._attempt]
+        req._attempt += 1
+        self.stats.retries_total += 1
+        try:
+            self._submit_beam(req)
+        except OverloadedError:
+            return False  # aux queue full: resolve with what we have
+        return True
 
     def _emit_partials(self, tokens_h, offs_h, done_h):
         for i in range(self.B):
@@ -927,7 +974,14 @@ class ContinuousBatchingEngine:
             text = postprocess(text, lang)
             avg_lp = float(fstate_h[i, 0] / max(fstate_h[i, 1], 1.0))
             nsp = float(nsp_h[i])
-            text, comp, quality_ok = self._quality_gate(text, nsp, avg_lp)
+            text, comp, quality_ok, silenced = self._quality_gate(
+                text, nsp, avg_lp)
+            if self._maybe_retry(req, quality_ok, silenced):
+                # re-decoding on the aux worker at the next ladder
+                # temperature — free the slot, leave the future pending
+                self._slot_req[i] = None
+                self._slot_prompt_len[i] = 0
+                continue
             wall = time.perf_counter() - req.enqueued_at
             audio_s = len(req.audio) / 16000.0
             self.stats.requests_total += 1
@@ -946,6 +1000,8 @@ class ContinuousBatchingEngine:
                     "wall_seconds": wall,
                     "rtf": wall / max(audio_s, 1e-9),
                     "tokens": int(len(ids)),
+                    "temperature": req.temperature,
+                    "attempts": req._attempt + 1,
                     "no_speech_prob": nsp,
                     "avg_logprob": avg_lp,
                     "compression_ratio": comp,
@@ -990,7 +1046,7 @@ class ContinuousBatchingEngine:
                 self._beam_cv.wait(timeout=0.05)
             if self._stop.is_set() or not self._beam_pending:
                 return []
-            K = None
+            key = None  # (effective beam, temperature): one compiled program
             batch: List[Request] = []
             keep: List[Request] = []
             now = time.perf_counter()
@@ -1001,11 +1057,15 @@ class ContinuousBatchingEngine:
                 if r.expired(now):
                     if not r.future.done():
                         r.future.set_exception(TimeoutError(
-                            f"deadline {r.deadline_s}s expired in beam queue"))
+                            f"deadline {r.deadline_s}s expired in aux queue"))
                     continue
-                if K is None:
-                    K = r.beam_size
-                if r.beam_size == K:
+                # t>0 decodes by categorical sampling (beam only at t=0 —
+                # OpenAI semantics), so a retried beam request samples at K=1
+                k_eff = ((1, r.temperature) if r.temperature > 0
+                         else (r.beam_size, 0.0))
+                if key is None:
+                    key = k_eff
+                if k_eff == key:
                     batch.append(r)
                 else:
                     keep.append(r)
@@ -1013,14 +1073,17 @@ class ContinuousBatchingEngine:
             return batch
 
     def _run_beam_batch(self, reqs: List[Request]):
-        """One micro-batched beam search: bucketed encode (shared _encode_fn,
+        """One micro-batched aux decode: bucketed encode (shared _encode_fn,
         so int8 cross-KV and TP shardings apply), on-device language detect
-        for 'auto' rows, then beam.beam_search_kv — the whole K-beam loop is
-        one compiled program; results pass the same quality gates as greedy."""
+        for 'auto' rows, then either beam.beam_search_kv (t=0, K>1) or the
+        sampled decode.greedy_decode_kv (t>0: explicit sampling requests and
+        the quality ladder's retries) — one compiled program either way;
+        results pass the same quality gates as greedy slots."""
         from ..beam import beam_search_kv
         from ..tokenizer import LANGUAGES
 
-        K = reqs[0].beam_size
+        temp = reqs[0].temperature
+        K = reqs[0].beam_size if temp == 0 else 1
         n = len(reqs)
         buckets = ([b for b in self.prefill_buckets if b <= self.beam_batch_max]
                    or [self.beam_batch_max])
@@ -1062,13 +1125,24 @@ class ContinuousBatchingEngine:
         for i in range(n, bucket):
             prompts[i] = prompts[0]
 
-        result = beam_search_kv(
-            self.params, cross, jnp.asarray(prompts), self.cfg,
-            beam_size=K, compute_dtype=self.dt, prompt_len=P,
-            max_tokens=self.max_tokens, suppress_ids=self._suppress,
-            timestamps=self.timestamps, apply_filters=self.apply_filters,
-            length_penalty=self.length_penalty,
-            self_kv_quant=self.self_kv_quant)
+        if temp > 0:
+            from ..decode import greedy_decode_kv
+
+            result = greedy_decode_kv(
+                self.params, cross, jnp.asarray(prompts), self.cfg,
+                compute_dtype=self.dt, prompt_len=P,
+                max_tokens=self.max_tokens, suppress_ids=self._suppress,
+                timestamps=self.timestamps, apply_filters=self.apply_filters,
+                temperature=float(temp),
+                self_kv_quant=self.self_kv_quant)
+        else:
+            result = beam_search_kv(
+                self.params, cross, jnp.asarray(prompts), self.cfg,
+                beam_size=K, compute_dtype=self.dt, prompt_len=P,
+                max_tokens=self.max_tokens, suppress_ids=self._suppress,
+                timestamps=self.timestamps, apply_filters=self.apply_filters,
+                length_penalty=self.length_penalty,
+                self_kv_quant=self.self_kv_quant)
 
         from ..decode import extract_texts
 
@@ -1079,13 +1153,16 @@ class ContinuousBatchingEngine:
         lp_h = np.asarray(result.avg_logprob)
         for i, r in enumerate(reqs):
             text = postprocess(texts[i], langs[i])
-            text, comp, quality_ok = self._quality_gate(
+            text, comp, quality_ok, silenced = self._quality_gate(
                 text, float(nsp_h[i]), float(lp_h[i]))
+            if self._maybe_retry(r, quality_ok, silenced):
+                continue  # re-decoding at the next ladder temperature
             n_tok = int(max(lens[i] - P, 0))
             wall = time.perf_counter() - r.enqueued_at
             audio_s = len(r.audio) / 16000.0
             self.stats.requests_total += 1
-            self.stats.beam_requests_total += 1
+            if K > 1:
+                self.stats.beam_requests_total += 1
             self.stats.tokens_total += n_tok
             self.stats.audio_seconds_total += audio_s
             if not r.future.done():
@@ -1097,6 +1174,8 @@ class ContinuousBatchingEngine:
                     "wall_seconds": wall,
                     "rtf": wall / max(audio_s, 1e-9),
                     "tokens": n_tok,
+                    "temperature": temp,
+                    "attempts": r._attempt + 1,
                     "no_speech_prob": float(nsp_h[i]),
                     "avg_logprob": float(lp_h[i]),
                     "compression_ratio": comp,

@@ -73,7 +73,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _stream_request(self, audio, language: str, task: str, beam: int = 1):
+    def _stream_request(self, audio, language: str, task: str, beam: int = 1,
+                        temperature: float = 0.0):
         """Chunked response: one JSON line per partial, then the final result.
 
         Streaming partials per decode round is new capability — the reference
@@ -83,7 +84,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
 
         partials: "_q.Queue[str]" = _q.Queue()
         req = Request(audio=audio, language=language, task=task,
-                      beam_size=beam, on_partial=partials.put)
+                      beam_size=beam, temperature=temperature,
+                      on_partial=partials.put)
         fut = self.engine.submit(req)
 
         self.send_response(200)
@@ -151,6 +153,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
             language = qs.get("language", "zh")
             task = qs.get("task", "transcribe")
             beam = qs.get("beam", "1")
+            temperature = qs.get("temperature", "0")
 
             if ctype.startswith("multipart/form-data"):
                 fields = parse_multipart(body, ctype)
@@ -161,6 +164,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 language = fields.get("language", language) or language
                 task = fields.get("task", task) or task
                 beam = fields.get("beam", beam) or beam
+                temperature = (fields.get("temperature", temperature)
+                               or temperature)
             elif ctype.startswith("application/octet-stream"):
                 if len(body) % 4 != 0:
                     # C++ server semantics (WhisperHTTPServer.hpp:60-71)
@@ -171,6 +176,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 language = self.headers.get("X-Language", language)
                 task = self.headers.get("X-Task", task)
                 beam = self.headers.get("X-Beam", beam)
+                temperature = self.headers.get("X-Temperature", temperature)
             else:
                 # bare WAV body as a convenience
                 audio = load_audio(body)
@@ -190,13 +196,24 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 self._send(400, {"success": False,
                                  "error": f"beam must be in 1..{self.engine.max_beam_size}"})
                 return
+            try:
+                temperature = float(temperature)
+            except (TypeError, ValueError):
+                self._send(400, {"success": False,
+                                 "error": f"bad temperature {temperature!r}"})
+                return
+            if not (0.0 <= temperature <= 2.0):
+                self._send(400, {"success": False,
+                                 "error": "temperature must be in [0, 2]"})
+                return
 
             stream = self.headers.get("X-Stream") == "1" or qs.get("stream") == "1"
             if stream:
-                self._stream_request(audio, language, task, beam)
+                self._stream_request(audio, language, task, beam, temperature)
                 return
             fut = self.engine.submit(Request(audio=audio, language=language,
-                                             task=task, beam_size=beam))
+                                             task=task, beam_size=beam,
+                                             temperature=temperature))
             result = fut.result(timeout=self.request_timeout_s)
             self._send(200, result)
         except OverloadedError as e:
