@@ -46,6 +46,9 @@ def main() -> int:
     p.add_argument("--self_kv_quant", action="store_true")
     p.add_argument("--steps_per_sync", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--beam", type=int, default=1,
+                   help=">1: all requests go through the engine's beam "
+                        "worker (the serving-path beam row)")
     args = p.parse_args()
 
     import jax
@@ -87,7 +90,8 @@ def main() -> int:
         # geometric-ish early-eot stand-in, clipped to [4, max_tokens]
         budget = int(np.clip(rng.geometric(1.0 / (args.max_tokens * 0.45)),
                              4, args.max_tokens))
-        return Request(audio=wav, language="zh", max_tokens=budget)
+        return Request(audio=wav, language="zh", beam_size=args.beam,
+                       max_tokens=None if args.beam > 1 else budget)
 
     # ---- warmup: compile the decode/admission programs off the clock
     print(f"[engine-bench] warmup (compiling decode + b{chunk} admission)...",
@@ -135,6 +139,7 @@ def main() -> int:
 
     out = {
         "metric": f"engine_ragged_{args.model}_s{args.slots}_r{args.requests}"
+                  + (f"_beam{args.beam}" if args.beam > 1 else "")
                   + (f"_rate{args.rate:g}" if args.rate else "_burst"),
         "value": round(audio_s / wall, 1),
         "unit": "audio_s/s (ragged traffic, higher=better)",

@@ -1085,8 +1085,11 @@ class ContinuousBatchingEngine:
         temp = reqs[0].temperature
         K = reqs[0].beam_size if temp == 0 else 1
         n = len(reqs)
-        buckets = ([b for b in self.prefill_buckets if b <= self.beam_batch_max]
-                   or [self.beam_batch_max])
+        # always include beam_batch_max so the bucket covers any batch the
+        # collector can produce (an engine configured with one small prefill
+        # bucket must not overflow here)
+        buckets = sorted({b for b in self.prefill_buckets
+                          if b <= self.beam_batch_max} | {self.beam_batch_max})
         bucket = _bucket(n, buckets)
         mel = np.zeros((bucket, N_SAMPLES), np.float32)
         lengths = np.zeros((bucket,), np.int32)
