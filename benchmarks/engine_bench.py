@@ -102,6 +102,11 @@ def main() -> int:
         f.result(timeout=3600)
     print(f"[engine-bench] warmup done in {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
+    # zero the phase counters so the printed breakdown covers the measured
+    # run only (the warmup's jit compiles would otherwise dominate step_s)
+    for f in ("busy_seconds_total", "admit_seconds_total",
+              "step_seconds_total", "harvest_seconds_total"):
+        setattr(eng.stats, f, 0.0)
 
     # ---- measured run
     reqs = [make_req() for _ in range(args.requests)]
@@ -150,6 +155,12 @@ def main() -> int:
         "req_p95_s": round(float(np.percentile(lats, 95)), 3),
         "tok_p50_ms": round(float(np.percentile(tok_lat, 50)) * 1e3, 2),
         "tok_p95_ms": round(float(np.percentile(tok_lat, 95)) * 1e3, 2),
+        # engine's own phase breakdown (EngineStats): admit/step = host-side
+        # prep+dispatch, harvest = device execution + host sync — says
+        # whether churn cost is host overhead or device+sync time
+        "admit_s": round(eng.stats.admit_seconds_total, 2),
+        "step_s": round(eng.stats.step_seconds_total, 2),
+        "harvest_s": round(eng.stats.harvest_seconds_total, 2),
     }
     print(json.dumps(out))
     return 0

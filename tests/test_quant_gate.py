@@ -103,3 +103,6 @@ def test_cli_smoke(capsys):
     d = json.loads(out)
     assert rc == 0 and d["pass"] is True
     assert "fp32" in d
+    # provenance: random-init runs must self-declare the threshold caveat
+    assert d["weights"] == "random-init"
+    assert "caveat" in d

@@ -230,7 +230,17 @@ def main(argv=None) -> int:
         results[v] = r
         print(json.dumps(r.row()), file=sys.stderr)
     ok = gate(results, args.kl_threshold, args.top1_threshold)
-    print(json.dumps({"pass": ok, **{v: r.row() for v, r in results.items()}}))
+    # Honest-provenance field: KL/top-1 on random-init weights is a weak
+    # proxy for real-weight WER deltas — the pass/fail thresholds have only
+    # been exercised on random logit distributions until a checkpoint is
+    # gated (docs/WEIGHTS_DAY.md step 3 re-runs this with --checkpoint).
+    weights = "checkpoint" if args.checkpoint else "random-init"
+    out = {"pass": ok, "weights": weights,
+           **{v: r.row() for v, r in results.items()}}
+    if weights == "random-init":
+        out["caveat"] = ("thresholds exercised on random-init logits only; "
+                         "re-gate with --checkpoint before trusting for WER")
+    print(json.dumps(out))
     return 0 if ok else 1
 
 

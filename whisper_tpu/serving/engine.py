@@ -110,6 +110,15 @@ class EngineStats:
     low_quality_total: int = 0    # compression-ratio / logprob criteria failed
     beam_requests_total: int = 0  # requests served by the beam worker
     retries_total: int = 0        # temperature-ladder re-decodes
+    # phase breakdown of busy time (sums to ~busy_seconds_total). JAX
+    # dispatch is async, so admit/step measure HOST-side cost (audio prep,
+    # bucketing, dispatch); device execution of everything dispatched in the
+    # round pools into harvest_seconds_total at its first host sync. The
+    # serving bench prints these so "what dominates under churn — host prep,
+    # or device+sync" is answered by the engine itself.
+    admit_seconds_total: float = 0.0
+    step_seconds_total: float = 0.0
+    harvest_seconds_total: float = 0.0
 
     def snapshot(self) -> dict:
         d = dict(self.__dict__)
@@ -1208,6 +1217,8 @@ class ContinuousBatchingEngine:
         t0 = time.perf_counter()
         self._expire_slots()
         self._admit_new()
+        t1 = time.perf_counter()
+        self.stats.admit_seconds_total += t1 - t0
         if any(r is not None for r in self._slot_req):
             (self.tokens, self.offsets, self.done, self.rs, self.fstate,
              kv_k, kv_v) = \
@@ -1217,7 +1228,10 @@ class ContinuousBatchingEngine:
                               self.kv[0], self.kv[1], self.cross,
                               self.steps_per_sync)
             self.kv = self._cache_cls(kv_k, kv_v)
+            t2 = time.perf_counter()
+            self.stats.step_seconds_total += t2 - t1
             self._harvest()
+            self.stats.harvest_seconds_total += time.perf_counter() - t2
         self.stats.busy_seconds_total += time.perf_counter() - t0
 
     def _run(self):
