@@ -107,6 +107,7 @@ def main() -> int:
     for f in ("busy_seconds_total", "admit_seconds_total",
               "step_seconds_total", "harvest_seconds_total"):
         setattr(eng.stats, f, 0.0)
+    eng.stats.ticks_total = 0
 
     # ---- measured run
     reqs = [make_req() for _ in range(args.requests)]
@@ -161,6 +162,7 @@ def main() -> int:
         "admit_s": round(eng.stats.admit_seconds_total, 2),
         "step_s": round(eng.stats.step_seconds_total, 2),
         "harvest_s": round(eng.stats.harvest_seconds_total, 2),
+        "ticks": eng.stats.ticks_total,
     }
     print(json.dumps(out))
     return 0

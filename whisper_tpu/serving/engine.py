@@ -119,6 +119,7 @@ class EngineStats:
     admit_seconds_total: float = 0.0
     step_seconds_total: float = 0.0
     harvest_seconds_total: float = 0.0
+    ticks_total: int = 0          # sync rounds run (per-tick overhead = busy/ticks)
 
     def snapshot(self) -> dict:
         d = dict(self.__dict__)
@@ -958,18 +959,26 @@ class ContinuousBatchingEngine:
                 req.on_partial = None  # dead consumer: stop streaming to it
 
     def _harvest(self):
-        done_h = np.asarray(self.done)
-        active_h = np.asarray(self.active)
-        tokens_h = np.asarray(self.tokens)
-        offs_h = np.asarray(self.offsets)
-        if any(r is not None and r.on_partial is not None for r in self._slot_req):
-            self._emit_partials(tokens_h, offs_h, done_h)
+        # Host syncs are the engine's scarcest resource: on the axon tunnel
+        # each device->host pull is a full RTT, and the r3 phase breakdown
+        # showed harvest at ~97% of ragged-traffic wall with SIX separate
+        # np.asarray pulls per tick. Batch into one device_get for the tiny
+        # control state, and pull the big token/quality arrays only when a
+        # slot actually finished (or a streaming consumer needs partials).
+        done_h, active_h, offs_h = jax.device_get(
+            (self.done, self.active, self.offsets))
+        streaming = any(r is not None and r.on_partial is not None
+                        for r in self._slot_req)
         ready = [i for i in range(self.B)
                  if active_h[i] and done_h[i] and self._slot_req[i] is not None]
+        if not ready and not streaming:
+            return
+        tokens_h, fstate_h, nsp_h = jax.device_get(
+            (self.tokens, self.fstate, self.nsp))
+        if streaming:
+            self._emit_partials(tokens_h, offs_h, done_h)
         if not ready:
             return
-        fstate_h = np.asarray(self.fstate)
-        nsp_h = np.asarray(self.nsp)
         for i in ready:
             req = self._slot_req[i]
             P = self._slot_prompt_len[i]
@@ -1215,6 +1224,7 @@ class ContinuousBatchingEngine:
         Factored out of _run so tests can drive rounds deterministically —
         in-flight decodes advance every round even mid-admission-burst."""
         t0 = time.perf_counter()
+        self.stats.ticks_total += 1
         self._expire_slots()
         self._admit_new()
         t1 = time.perf_counter()
