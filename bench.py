@@ -202,9 +202,11 @@ def main() -> int:
                "--model", os.environ.get("BENCH_MODEL", "turbo"),
                "--slots", os.environ.get("BENCH_SLOTS", "64"),
                "--requests", os.environ.get("BENCH_REQUESTS", "192"),
-               "--rate", os.environ.get("BENCH_RATE", "0")]
+               "--rate", os.environ.get("BENCH_RATE", "0"),
+               "--steps_per_sync", os.environ.get("BENCH_STEPS_PER_SYNC", "8")]
         for flag, env in (("--kv_quant", "BENCH_KV_QUANT"),
-                          ("--self_kv_quant", "BENCH_SELF_KV_QUANT")):
+                          ("--self_kv_quant", "BENCH_SELF_KV_QUANT"),
+                          ("--w8a8", "BENCH_W8A8")):
             if os.environ.get(env, "1") == "1":
                 cmd.append(flag)
         proc = subprocess.run(cmd, cwd=here, text=True, capture_output=True,

@@ -44,6 +44,9 @@ def main() -> int:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--kv_quant", action="store_true")
     p.add_argument("--self_kv_quant", action="store_true")
+    p.add_argument("--w8a8", action="store_true",
+                   help="int8 weights + dynamic-int8 encoder activations "
+                        "(the flagship quant mode, quant_gate-passed)")
     p.add_argument("--steps_per_sync", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--beam", type=int, default=1,
@@ -66,6 +69,16 @@ def main() -> int:
     dt = jnp.dtype(args.dtype)
     params = jax.device_put(
         cast_floating(init_params(cfg, jax.random.PRNGKey(0)), dt))
+    if args.w8a8:
+        # serving-path W8A8: admission encode is the dominant per-tick cost
+        # under churn, and the W8A8 encoder is a measured -13% on it
+        # (BENCH_NOTES r3); decoder runs the same int8 weights weight-only
+        import os
+
+        from whisper_tpu.ops.quant import quantize_params
+
+        os.environ["WHISPER_TPU_W8A8"] = "1"
+        params = quantize_params(params)
     tok = get_tokenizer(cfg.is_multilingual)
     chunk = args.admit_chunk or max(1, args.slots // 4)
 
@@ -146,6 +159,7 @@ def main() -> int:
     out = {
         "metric": f"engine_ragged_{args.model}_s{args.slots}_r{args.requests}"
                   + (f"_beam{args.beam}" if args.beam > 1 else "")
+                  + ("_w8a8" if args.w8a8 else "")
                   + (f"_rate{args.rate:g}" if args.rate else "_burst"),
         "value": round(audio_s / wall, 1),
         "unit": "audio_s/s (ragged traffic, higher=better)",

@@ -81,6 +81,13 @@ def test_engine_single_request(engine, rng):
     assert isinstance(res["text"], str)
     assert res["audio_seconds"] == pytest.approx(1.0)
     assert engine.stats.requests_total == 1
+    # phase breakdown advanced and roughly accounts for busy time
+    s = engine.stats
+    assert s.ticks_total >= 1
+    assert s.admit_seconds_total > 0 and s.harvest_seconds_total > 0
+    # clock-call ordering leaves ~50 us/tick of slack between the two sums
+    assert (s.admit_seconds_total + s.step_seconds_total
+            + s.harvest_seconds_total) <= s.busy_seconds_total + 0.01 * s.ticks_total
 
 
 def test_engine_matches_offline_greedy(engine, nano_params, rng):
