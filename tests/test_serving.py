@@ -340,6 +340,27 @@ def test_engine_kv_quant_matches_fp(nano_params, rng):
         eng.stop()
 
 
+def test_engine_w8a8_quantized_params(nano_params, rng, monkeypatch):
+    """The flagship quant mode end-to-end through the engine: int8 weights
+    (QTensor leaves flow through the slot machinery, TP placement, jit) with
+    dynamic-int8 encoder activations. Numeric closeness is covered at the
+    op level (test_quant); here the serving path must run and resolve."""
+    from whisper_tpu.ops.quant import quantize_params
+
+    monkeypatch.setenv("WHISPER_TPU_W8A8", "1")
+    eng = ContinuousBatchingEngine(
+        quantize_params(nano_params), NANO, IdTok(), max_slots=2,
+        compute_dtype=jnp.float32, max_tokens=8, apply_filters=False,
+        kv_quant=True, self_kv_quant=True,
+    ).start()
+    try:
+        res = eng.transcribe(_audio(rng, 0.5), timeout=60)
+        assert res["success"]
+        assert isinstance(res["text"], str)
+    finally:
+        eng.stop()
+
+
 def test_engine_timestamps_mode(nano_params, rng):
     """Engine with timestamps=True: 3-token prompt, grammar-filtered decode."""
     eng = ContinuousBatchingEngine(
