@@ -179,6 +179,56 @@ def test_router_streaming_passthrough(two_replicas, rng):
     assert lines[-1].get("success") is True
 
 
+def test_router_splits_longform_across_backends(two_replicas, rng):
+    """A >30 s POST is split into windows at the router and fanned out over
+    BOTH replicas in parallel; the response carries the merged transcript
+    (serving-level long-audio at the fleet tier, SURVEY §5)."""
+    router_srv, _, engines, _ = two_replicas
+    port = router_srv.server_address[1]
+    code, body = _post_pcm(port, rng, seconds=70, timeout=300)
+    assert code == 200 and body["success"]
+    assert body["split"] == "router"
+    assert body["windows"] == 3  # 70 s, 30 s windows, 2 s overlap
+    assert body["audio_seconds"] == pytest.approx(70.0)
+    assert isinstance(body["text"], str)
+    served = [b.requests_total for b in router_srv.router.backends]
+    assert sum(served) == 3
+    assert all(n >= 1 for n in served), f"windows not fanned out: {served}"
+    assert router_srv.router.metrics()["router_split_requests"] == 1
+    # each engine saw only <=30 s windows, so none re-split internally
+    assert sum(e.stats.snapshot()["requests_total"] for e in engines) == 3
+
+
+def test_router_split_disabled_keeps_affinity(two_replicas, rng):
+    """With split_longform off the router relays the long request untouched
+    to ONE backend, which then windows it itself (engine-level long audio)."""
+    _, _, engines, urls = two_replicas
+    srv = make_router(urls, "127.0.0.1", 0, split_longform=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        code, body = _post_pcm(port, rng, seconds=70, timeout=300)
+        assert code == 200 and body["success"]
+        assert body.get("split") != "router"
+        assert body["windows"] == 3  # engine-side split still applies
+        served = [b.requests_total for b in srv.router.backends]
+        assert sum(served) == 1, f"expected single-backend affinity: {served}"
+    finally:
+        srv.shutdown()
+
+
+def test_make_router_split_flags():
+    srv = make_router(["http://127.0.0.1:1", "http://127.0.0.1:2"],
+                      "127.0.0.1", 0, split_longform=False,
+                      longform_overlap_s=1.5)
+    try:
+        assert srv.router.split_longform is False
+        assert srv.router.longform_overlap_s == 1.5
+    finally:
+        srv.server_close()
+
+
 # ---------------------------------------------------------------- 2-process
 def _free_port():
     s = socket.socket()

@@ -89,7 +89,9 @@ def _run_dp(args) -> int:
         for u in urls:
             if not _wait_healthy(u, timeout_s=args.worker_startup_timeout):
                 raise RuntimeError(f"worker {u} failed to come up")
-        srv = make_router(urls, args.host, args.port)
+        srv = make_router(urls, args.host, args.port,
+                          split_longform=not args.no_router_split,
+                          longform_overlap_s=args.router_overlap_s)
         print(f"whisper_tpu router on {args.host}:{args.port} "
               f"-> {args.dp} replicas {urls}", file=sys.stderr, flush=True)
         try:
@@ -112,7 +114,9 @@ def _run_router(args) -> int:
 
     urls = [u if "//" in u else f"http://{u}"
             for u in args.backends.split(",") if u]
-    srv = make_router(urls, args.host, args.port)
+    srv = make_router(urls, args.host, args.port,
+                      split_longform=not args.no_router_split,
+                      longform_overlap_s=args.router_overlap_s)
     print(f"whisper_tpu router on {args.host}:{args.port} -> {urls}",
           file=sys.stderr, flush=True)
     try:
@@ -147,6 +151,11 @@ def main(argv=None) -> int:
                    help="router-only mode: comma-separated worker URLs "
                         "(one engine per host for multi-host serving)")
     p.add_argument("--worker_startup_timeout", type=float, default=300.0)
+    p.add_argument("--no_router_split", action="store_true",
+                   help="disable router-level >30s window fan-out "
+                        "(windows then decode on one backend)")
+    p.add_argument("--router_overlap_s", type=float, default=2.0,
+                   help="window overlap for the router-level split")
     p.add_argument("--timeout", type=float, default=300.0)
     p.add_argument("--no_speech_threshold", type=float, default=0.6,
                    help="silence gate: P(<|nospeech|>) above this (and not "

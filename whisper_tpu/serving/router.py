@@ -11,6 +11,14 @@ Routing policy: least-in-flight among healthy backends (round-robin tie
 break). A backend answering 503 (engine backpressure) or failing to connect
 is skipped for ``cooldown_s`` and the request retries on the next one, so a
 slow or dead replica degrades capacity instead of availability.
+
+Long audio: with more than one backend, the router splits a >30 s request
+into overlapping 30 s windows and fans them out across the fleet in
+parallel, merging the transcripts at the edge (``longform.merge_texts``).
+A single engine decodes one long request's windows sequentially as slot
+streams; the router-level split turns that into fleet-parallel wall-clock.
+Streaming requests keep single-backend affinity (partials need one engine's
+ordered merge).
 """
 
 from __future__ import annotations
@@ -20,10 +28,13 @@ import itertools
 import json
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
-from urllib.parse import urlsplit
+from urllib.parse import parse_qs, urlsplit
+
+import numpy as np
 
 HOP_HEADERS = {
     "connection", "keep-alive", "transfer-encoding", "te", "trailer",
@@ -57,11 +68,15 @@ class Router:
     """Thread-safe backend pool with least-in-flight selection."""
 
     def __init__(self, backend_urls: List[str], cooldown_s: float = 2.0,
-                 connect_timeout_s: float = 10.0):
+                 connect_timeout_s: float = 10.0, split_longform: bool = True,
+                 longform_overlap_s: float = 2.0):
         assert backend_urls, "router needs at least one backend"
         self.backends = [Backend(url=u) for u in backend_urls]
         self.cooldown_s = cooldown_s
         self.connect_timeout_s = connect_timeout_s
+        self.split_longform = split_longform
+        self.longform_overlap_s = longform_overlap_s
+        self.split_requests_total = 0
         self._rr = itertools.count()
         self._lock = threading.Lock()
 
@@ -188,8 +203,51 @@ class Router:
                 row["unreachable"] = True
             per.append(row)
         out = dict(totals)
+        out["router_split_requests"] = self.split_requests_total
         out["backends"] = per
         return out
+
+
+def _parse_asr_request(body: bytes, ctype: str, headers, qs: dict):
+    """Best-effort decode of an /asr POST into (mono f32 audio, params).
+
+    Understands the same three encodings as the server (multipart WAV,
+    octet-stream f32 PCM, bare WAV body). Returns None when the body can't
+    be parsed — the request is then relayed untouched and the backend
+    produces the authoritative error.
+    """
+    from ..ops.audio import WavFormatError, load_audio, pcm_f32_from_bytes
+
+    params = {"language": qs.get("language", "zh"),
+              "task": qs.get("task", "transcribe"),
+              "beam": qs.get("beam", "1"),
+              "temperature": qs.get("temperature", "0")}
+    try:
+        if ctype.startswith("multipart/form-data"):
+            from .wire import parse_multipart
+
+            fields = parse_multipart(body, ctype)
+            if "wav" not in fields:
+                return None
+            audio = load_audio(fields["wav"])
+            for k in params:
+                v = fields.get(k)
+                if v:
+                    params[k] = v
+        elif ctype.startswith("application/octet-stream"):
+            if len(body) % 4 != 0:
+                return None
+            audio = pcm_f32_from_bytes(body)
+            for k, h in (("language", "X-Language"), ("task", "X-Task"),
+                         ("beam", "X-Beam"), ("temperature", "X-Temperature")):
+                v = headers.get(h)
+                if v:
+                    params[k] = v
+        else:
+            audio = load_audio(body)
+    except (WavFormatError, ValueError):
+        return None
+    return audio, params
 
 
 class RouterHandler(BaseHTTPRequestHandler):
@@ -220,9 +278,106 @@ class RouterHandler(BaseHTTPRequestHandler):
     def do_OPTIONS(self):
         self._send(200, {})
 
+    def _maybe_split_longform(self, body: bytes, qs: dict) -> bool:
+        """Handle a >30 s request by fanning windows across the fleet.
+
+        Returns True when the request was fully answered here. The serving-
+        level long-audio fix the reference lacks (SURVEY §5 vs
+        /root/reference/python/whisper.py:148-152) applied at the fleet tier:
+        one engine decodes windows as concurrent slot streams, the router
+        spreads them over every replica.
+        """
+        from ..config import N_SAMPLES, SAMPLE_RATE
+
+        parsed = _parse_asr_request(
+            body, self.headers.get("Content-Type", ""), self.headers, qs)
+        if parsed is None:
+            return False
+        audio, params = parsed
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if audio.size <= N_SAMPLES:
+            return False
+
+        from ..longform import merge_texts, split_audio
+
+        router = self.router
+        overlap = int(router.longform_overlap_s * SAMPLE_RATE)
+        waves, _ = split_audio(audio, N_SAMPLES, overlap)
+        hdrs = {"Content-Type": "application/octet-stream",
+                "X-Language": str(params["language"]),
+                "X-Task": str(params["task"]),
+                "X-Beam": str(params["beam"]),
+                "X-Temperature": str(params["temperature"])}
+        t0 = time.perf_counter()
+
+        def one(w: np.ndarray) -> dict:
+            b, resp, conn = router.forward("POST", "/asr", w.tobytes(),
+                                           dict(hdrs))
+            try:
+                payload = json.loads(resp.read().decode() or "{}")
+            finally:
+                router.release(b, conn)
+            if resp.status != 200 or not payload.get("success", False):
+                raise RuntimeError(str(payload.get("error")
+                                       or f"backend HTTP {resp.status}"))
+            return payload
+
+        with ThreadPoolExecutor(max_workers=min(len(waves), 16)) as ex:
+            results = list(ex.map(one, waves))
+        router.split_requests_total += 1
+
+        lang = params["language"]
+        if lang in (None, "", "auto"):
+            lang = next((r.get("language") for r in results
+                         if r.get("language") not in (None, "", "auto")), "en")
+        wall = time.perf_counter() - t0
+        audio_s = audio.size / SAMPLE_RATE
+        out = {
+            "success": True,
+            "text": merge_texts([r.get("text", "") for r in results], lang),
+            "language": lang,
+            "audio_seconds": audio_s,
+            "wall_seconds": wall,
+            "rtf": wall / max(audio_s, 1e-9),
+            "windows": len(waves),
+            "split": "router",
+            "tokens": int(sum(r.get("tokens", 0) for r in results)),
+        }
+        lps = [r["avg_logprob"] for r in results if "avg_logprob" in r]
+        if lps:
+            out["avg_logprob"] = float(sum(lps) / len(lps))
+        nsp = [r["no_speech_prob"] for r in results if "no_speech_prob" in r]
+        if nsp:
+            out["no_speech_prob"] = float(max(nsp))
+        crs = [r["compression_ratio"] for r in results
+               if "compression_ratio" in r]
+        if crs:
+            out["compression_ratio"] = float(max(crs))
+        if all("quality_ok" in r for r in results):
+            out["quality_ok"] = all(r["quality_ok"] for r in results)
+        self._send(200, out)
+        return True
+
     def do_POST(self):
         length = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(length) if length > 0 else b""
+        route, _, query = self.path.partition("?")
+        qs = {k: v[-1] for k, v in parse_qs(query).items()}
+        streaming = (self.headers.get("X-Stream") == "1"
+                     or qs.get("stream") == "1")
+        if (route in ("/asr", "/transcribe") and not streaming
+                and self.router.split_longform
+                and len(self.router.backends) > 1):
+            try:
+                if self._maybe_split_longform(body, qs):
+                    return
+            except ConnectionError as e:
+                self._send(503, {"success": False, "error": str(e)})
+                return
+            except RuntimeError as e:
+                self._send(502, {"success": False,
+                                 "error": f"window decode failed: {e}"})
+                return
         try:
             b, resp, conn = self.router.forward(
                 "POST", self.path, body, dict(self.headers))
@@ -260,8 +415,12 @@ class RouterHandler(BaseHTTPRequestHandler):
 
 
 def make_router(backend_urls: List[str], host: str = "0.0.0.0",
-                port: int = 8000, cooldown_s: float = 2.0) -> ThreadingHTTPServer:
-    router = Router(backend_urls, cooldown_s=cooldown_s)
+                port: int = 8000, cooldown_s: float = 2.0,
+                split_longform: bool = True,
+                longform_overlap_s: float = 2.0) -> ThreadingHTTPServer:
+    router = Router(backend_urls, cooldown_s=cooldown_s,
+                    split_longform=split_longform,
+                    longform_overlap_s=longform_overlap_s)
     handler = type("BoundRouter", (RouterHandler,), {"router": router})
     srv = ThreadingHTTPServer((host, port), handler)
     srv.router = router  # exposed for tests/metrics

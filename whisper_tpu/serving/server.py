@@ -19,39 +19,11 @@ engine's micro-batched beam worker. The reference is greedy-only.
 from __future__ import annotations
 
 import json
-import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..ops.audio import WavFormatError, load_audio, pcm_f32_from_bytes
 from .engine import ContinuousBatchingEngine, OverloadedError, Request
-
-
-def parse_multipart(body: bytes, content_type: str) -> dict:
-    """Minimal multipart/form-data parser (cgi module is deprecated)."""
-    m = re.search(r'boundary="?([^";]+)"?', content_type)
-    if not m:
-        raise ValueError("multipart body without boundary")
-    boundary = m.group(1).encode()
-    parts = body.split(b"--" + boundary)
-    out = {}
-    for part in parts[1:-1]:
-        part = part.lstrip(b"\r\n")
-        if not part or part == b"--":
-            continue
-        try:
-            head, _, payload = part.partition(b"\r\n\r\n")
-        except ValueError:
-            continue
-        payload = payload.rstrip(b"\r\n")
-        nm = re.search(rb'name="([^"]+)"', head)
-        if not nm:
-            continue
-        name = nm.group(1).decode()
-        if re.search(rb"filename=", head):
-            out[name] = payload
-        else:
-            out[name] = payload.decode("utf-8", "replace")
-    return out
+from .wire import parse_multipart  # noqa: F401  (re-exported; tests import it here)
 
 
 class WhisperHandler(BaseHTTPRequestHandler):
