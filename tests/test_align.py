@@ -1,0 +1,334 @@
+"""Word-level timestamp machinery (align.py) + output writers (formats.py).
+
+With random weights the *times* are arbitrary; these tests assert the
+machinery: DTW correctness on crafted cost matrices, attention-map shapes
+and normalization, monotone non-overlapping word spans, writer formats.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_tpu.align import (
+    TIME_PER_FRAME,
+    alignment_cross_attn,
+    alignment_head_mask,
+    dequantize_cross_kv,
+    dtw_path,
+    median_filter,
+    merge_punctuations,
+    words_from_attention,
+)
+from whisper_tpu.config import WhisperConfig
+from whisper_tpu.models.model import init_params
+from whisper_tpu.tokenizer import get_tokenizer
+
+NANO = WhisperConfig(
+    name="nano",
+    n_mels=80,
+    n_audio_ctx=64,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=51865,
+    n_text_ctx=24,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+
+
+# ------------------------------------------------------------------- dtw
+def test_dtw_diagonal():
+    n = 8
+    cost = np.ones((n, n)) - np.eye(n)  # zero cost on the diagonal
+    ti, tj = dtw_path(cost)
+    assert ti[0] == 0 and tj[0] == 0
+    assert ti[-1] == n - 1 and tj[-1] == n - 1
+    # the path should ride the diagonal exactly
+    assert (ti == tj).all()
+
+
+def test_dtw_monotone_and_complete():
+    rng = np.random.default_rng(7)
+    cost = rng.random((13, 29))
+    ti, tj = dtw_path(cost)
+    assert (np.diff(ti) >= 0).all() and (np.diff(tj) >= 0).all()
+    assert (np.diff(ti) + np.diff(tj) >= 1).all()  # always advances
+    assert set(ti) == set(range(13))  # every text row visited
+    assert ti[-1] == 12 and tj[-1] == 28
+
+
+def test_dtw_prefers_cheap_path():
+    # two-row matrix where row 0 is cheap early, row 1 cheap late: the
+    # transition must happen between columns 1 and 2
+    cost = np.array([[0.0, 0.0, 9.0, 9.0],
+                     [9.0, 9.0, 0.0, 0.0]])
+    ti, tj = dtw_path(cost)
+    switch = tj[np.searchsorted(ti, 1)]
+    assert switch == 2
+
+
+def test_median_filter_matches_numpy():
+    rng = np.random.default_rng(3)
+    x = rng.random((2, 33))
+    got = median_filter(x, 7)
+    xp = np.pad(x, [(0, 0), (3, 3)], mode="reflect")
+    for i in range(33):
+        assert got[0, i] == pytest.approx(np.median(xp[0, i : i + 7]))
+    assert got.shape == x.shape
+
+
+def test_median_filter_width1_identity():
+    x = np.arange(12.0).reshape(3, 4)
+    assert (median_filter(x, 1) == x).all()
+
+
+# -------------------------------------------------------- device alignment
+@pytest.fixture(scope="module")
+def nano_setup(rng=None):
+    import jax
+
+    params = init_params(NANO, jax.random.PRNGKey(0))
+    r = np.random.default_rng(11)
+    B, Ta = 2, NANO.n_audio_ctx
+    L, H, dh = NANO.n_text_layer, NANO.n_text_head, NANO.head_dim_text
+    ck = jnp.asarray(r.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
+    cv = jnp.asarray(r.standard_normal((L, B, H, Ta, dh)).astype(np.float32))
+    return params, (ck, cv)
+
+
+def test_alignment_cross_attn_shapes(nano_setup):
+    params, cross_kv = nano_setup
+    B, S = 2, 10
+    tokens = jnp.full((B, S), NANO.sot, jnp.int32)
+    attn, tlp = alignment_cross_attn(params, tokens, cross_kv, NANO)
+    assert attn.shape == (NANO.n_text_layer, B, NANO.n_text_head, S,
+                          NANO.n_audio_ctx)
+    assert tlp.shape == (B, S - 1)
+    # softmax over the audio axis
+    sums = np.asarray(attn).sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+    assert (np.asarray(tlp) <= 0).all()
+
+
+def test_alignment_head_mask_default():
+    m = alignment_head_mask(NANO)
+    assert m.shape == (NANO.n_text_layer, NANO.n_text_head)
+    assert not m[0].any() and m[1].all()  # last half of 2 layers
+
+
+def test_alignment_head_mask_sidecar(tmp_path):
+    import json
+
+    p = tmp_path / "heads.json"
+    p.write_text(json.dumps({"nano": [[0, 1], [1, 0]]}))
+    m = alignment_head_mask(NANO, str(p))
+    assert m[0, 1] and m[1, 0] and m.sum() == 2
+
+
+def test_dequantize_cross_kv_roundtrip(nano_setup):
+    from whisper_tpu.models.model import quantize_cross_kv
+
+    _, cross_kv = nano_setup
+    dq = dequantize_cross_kv(quantize_cross_kv(cross_kv))
+    for a, b in zip(cross_kv, dq):
+        assert b.shape == a.shape
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err < 0.05  # int8 rounding
+    # fp passthrough
+    assert dequantize_cross_kv(cross_kv) is cross_kv
+
+
+# ------------------------------------------------------------- words
+def _diag_attention(n_rows, n_frames, L, H, sharp=50.0):
+    """Synthetic maps attending diagonally: token i -> frame i*stride."""
+    t = np.linspace(0, n_frames - 1, n_rows)
+    f = np.arange(n_frames)
+    w = np.exp(-((f[None, :] - t[:, None]) ** 2) / 2.0) + 1e-6
+    w = w / w.sum(-1, keepdims=True)
+    return np.tile(w[None, None], (L, H, 1, 1)).astype(np.float32)
+
+
+def test_words_monotone_on_diagonal_attention():
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    text_ids = tok.encode(" hello world how are you")
+    prompt = [NANO.sot, NANO.eot - 1]  # arbitrary 2-token prompt
+    seq = prompt + text_ids + [tok.eot]
+    S, F = len(seq), 40
+    attn = _diag_attention(S, F, NANO.n_text_layer, NANO.n_text_head)
+    words = words_from_attention(attn, seq, len(prompt), tok, NANO, F)
+    assert [w["word"].strip() for w in words] == [
+        "hello", "world", "how", "are", "you"]
+    starts = [w["start"] for w in words]
+    ends = [w["end"] for w in words]
+    assert all(s <= e for s, e in zip(starts, ends))
+    assert starts == sorted(starts)
+    # successive words don't overlap
+    assert all(ends[i] <= starts[i + 1] + 1e-9 for i in range(len(words) - 1))
+    assert ends[-1] <= F * TIME_PER_FRAME + 1e-9
+
+
+def test_words_zh_unicode_split():
+    tok = get_tokenizer(True, language="zh", task="transcribe")
+    text_ids = tok.encode("你好世界")
+    seq = [NANO.sot] + text_ids + [tok.eot]
+    S, F = len(seq), 30
+    attn = _diag_attention(S, F, NANO.n_text_layer, NANO.n_text_head)
+    words = words_from_attention(attn, seq, 1, tok, NANO, F)
+    assert "".join(w["word"] for w in words) == "你好世界"
+    starts = [w["start"] for w in words]
+    assert starts == sorted(starts)
+
+
+def test_words_probability_attached():
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    text_ids = tok.encode(" hi there")
+    seq = [NANO.sot] + text_ids + [tok.eot]
+    S, F = len(seq), 20
+    attn = _diag_attention(S, F, NANO.n_text_layer, NANO.n_text_head)
+    tlp = np.full(S - 1, np.log(0.5), np.float32)
+    words = words_from_attention(attn, seq, 1, tok, NANO, F,
+                                 token_logprobs=tlp)
+    assert all(w["probability"] == pytest.approx(0.5, abs=1e-3) for w in words)
+
+
+def test_merge_punctuations():
+    words = [
+        {"word": " \"", "start": 0.0, "end": 0.1},
+        {"word": "hi", "start": 0.1, "end": 0.5},
+        {"word": ",", "start": 0.5, "end": 0.6},
+        {"word": " there", "start": 0.6, "end": 1.0},
+    ]
+    merged = merge_punctuations(words)
+    assert [w["word"] for w in merged] == [" \"hi,", " there"]
+    assert merged[0]["start"] == 0.0 and merged[0]["end"] == 0.6
+
+
+# ------------------------------------------------------------- pipeline e2e
+def test_pipeline_word_timestamps_e2e(tmp_path):
+    """Random-weight tiny-config-free e2e: words come back monotone within
+    the audio span, and silent gating yields no words."""
+    from whisper_tpu.pipeline import WhisperPipeline
+
+    pipe = WhisperPipeline.__new__(WhisperPipeline)  # skip heavy init
+    # build a minimal pipeline around NANO by hand
+    import jax
+
+    pipe.task = "transcribe"
+    pipe.language = "en"
+    pipe.compute_dtype = jnp.float32
+    pipe.beam_size = 0
+    pipe.timestamps = False
+    pipe.max_tokens = 6
+    pipe.apply_filters = False
+    pipe.kv_quant = False
+    pipe.self_kv_quant = False
+    pipe.temperature = 0.0
+    pipe.temperature_fallback = False
+    pipe.compression_ratio_threshold = 2.4
+    pipe.logprob_threshold = -1.0
+    pipe.no_speech_threshold = 0.6
+    pipe.condition_on_previous_text = True
+    pipe.initial_prompt = None
+    pipe.longform_overlap = 32000
+    pipe.word_timestamps = True
+    pipe.alignment_heads = None
+    pipe.cfg = NANO
+    pipe.params = init_params(NANO, jax.random.PRNGKey(0))
+    pipe.tokenizer = get_tokenizer(True, language="en", task="transcribe")
+    pipe._suppress_ids = None
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    res = pipe.transcribe(audio)
+    assert res.words is not None
+    for w in res.words:
+        assert 0.0 <= w["start"] <= w["end"] <= res.audio_seconds + 0.5
+    starts = [w["start"] for w in res.words]
+    assert starts == sorted(starts)
+
+
+# ------------------------------------------------------------- formats
+class _R:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    @property
+    def rtf(self):
+        return 0.001
+
+    @property
+    def segments(self):
+        return self.segments_list or []
+
+
+def _result_with_words():
+    words = [
+        {"word": " hello", "start": 0.0, "end": 0.5},
+        {"word": " world.", "start": 0.6, "end": 1.0},
+        {"word": " bye", "start": 3.0, "end": 3.4},
+    ]
+    return _R(text="hello world. bye", language="en", segments_list=None,
+              words=words, audio_seconds=4.0)
+
+
+def test_srt_output():
+    from whisper_tpu.formats import write_result
+
+    f = io.StringIO()
+    write_result(_result_with_words(), "srt", f)
+    out = f.getvalue()
+    assert "1\n00:00:00,000 --> 00:00:01,000\nhello world.\n" in out
+    assert "2\n00:00:03,000 --> 00:00:03,400\nbye\n" in out
+
+
+def test_vtt_output():
+    from whisper_tpu.formats import write_result
+
+    f = io.StringIO()
+    write_result(_result_with_words(), "vtt", f)
+    out = f.getvalue()
+    assert out.startswith("WEBVTT\n\n")
+    assert "00:00:00.000 --> 00:00:01.000\nhello world.\n" in out
+
+
+def test_json_output_includes_words():
+    import json as _json
+
+    from whisper_tpu.formats import write_result
+
+    f = io.StringIO()
+    write_result(_result_with_words(), "json", f)
+    data = _json.loads(f.getvalue())
+    assert data["text"] == "hello world. bye"
+    assert len(data["words"]) == 3
+    assert len(data["segments"]) == 2  # gap > 1 s splits
+
+
+def test_tsv_and_txt_and_unknown():
+    from whisper_tpu.formats import write_result
+
+    f = io.StringIO()
+    write_result(_result_with_words(), "tsv", f)
+    lines = f.getvalue().splitlines()
+    assert lines[0] == "start\tend\ttext"
+    assert lines[1].startswith("0\t1000\t")
+    f = io.StringIO()
+    write_result(_result_with_words(), "txt", f)
+    assert f.getvalue() == "hello world. bye\n"
+    with pytest.raises(ValueError):
+        write_result(_result_with_words(), "nope", io.StringIO())
+
+
+def test_segments_from_explicit_segments():
+    from whisper_tpu.formats import write_result
+
+    r = _R(text="t", language="zh", segments_list=[(0.0, 1.5, "你好")],
+           words=None, audio_seconds=2.0)
+    f = io.StringIO()
+    write_result(r, "srt", f)
+    assert "00:00:00,000 --> 00:00:01,500\n你好\n" in f.getvalue()

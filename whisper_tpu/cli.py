@@ -46,6 +46,18 @@ def get_args(argv=None):
     p.add_argument("--initial_prompt", default=None,
                    help="free text to prime the decoder with (names, jargon, "
                         "style) — prepended as [sot_prev, tokens] context")
+    p.add_argument("--word_timestamps", action="store_true",
+                   help="per-word timings via cross-attention DTW (align.py)")
+    p.add_argument("--alignment_heads", default=None,
+                   help="JSON sidecar with per-model alignment-head masks "
+                        "(default: last half of the decoder layers)")
+    p.add_argument("--output_format", "-f", default="txt",
+                   choices=["txt", "json", "srt", "vtt", "tsv"],
+                   help="transcript format; srt/vtt/tsv need --timestamps "
+                        "or --word_timestamps for segment times")
+    p.add_argument("--output_dir", "-o", default=None,
+                   help="write one <input-stem>.<format> per input here "
+                        "(default: print to stdout)")
     return p.parse_args(argv)
 
 
@@ -72,6 +84,8 @@ def main(argv=None) -> int:
         kv_quant=args.kv_quant,
         self_kv_quant=args.self_kv_quant,
         condition_on_previous_text=not args.no_condition,
+        word_timestamps=args.word_timestamps,
+        alignment_heads=args.alignment_heads,
     )
     print(f"Init model cost: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
@@ -80,7 +94,26 @@ def main(argv=None) -> int:
     else:
         results = pipe.transcribe_batch(args.wav)
     for path, r in zip(args.wav, results):
-        print(f"{path}\t[{r.language}]\t{r.text}")
+        if args.output_dir:
+            import os
+
+            from .formats import write_result
+
+            stem = os.path.splitext(os.path.basename(path))[0]
+            dest = os.path.join(args.output_dir, f"{stem}.{args.output_format}")
+            os.makedirs(args.output_dir, exist_ok=True)
+            with open(dest, "w", encoding="utf-8") as f:
+                write_result(r, args.output_format, f)
+            print(f"{path} -> {dest}", file=sys.stderr)
+        elif args.output_format != "txt":
+            from .formats import write_result
+
+            write_result(r, args.output_format, sys.stdout)
+        else:
+            print(f"{path}\t[{r.language}]\t{r.text}")
+            if args.word_timestamps and r.words:
+                for w in r.words:
+                    print(f"  {w['start']:7.2f} -> {w['end']:7.2f}  {w['word']}")
         print(
             f"  audio {r.audio_seconds:.2f}s  wall {r.wall_seconds:.2f}s  RTF {r.rtf:.4f}",
             file=sys.stderr,

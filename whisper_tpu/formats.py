@@ -1,0 +1,118 @@
+"""Transcript output writers: txt / json / srt / vtt / tsv.
+
+Beyond-parity: the reference prints plain text only (python/whisper_cli.py:
+46-66); these writers make the CLI output consumable by subtitle tooling.
+Segments come from timestamp-token decoding (``--timestamps``) or the
+seek-based longform path; when only word timings exist (``--word_timestamps``
+without ``--timestamps``), segments are synthesized from word groups.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import IO, List, Optional, Tuple
+
+MAX_SEGMENT_WORDS = 12
+MAX_SEGMENT_GAP_S = 1.0
+
+
+def _fmt_time(t: float, sep: str = ",") -> str:
+    ms = int(round(max(t, 0.0) * 1000))
+    h, ms = divmod(ms, 3600_000)
+    m, ms = divmod(ms, 60_000)
+    s, ms = divmod(ms, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
+
+
+def segments_from_words(words: List[dict],
+                        language: str = "en") -> List[Tuple[float, float, str]]:
+    """Group word timings into subtitle-sized segments.
+
+    Breaks at sentence-final punctuation, at >1 s silences, or every
+    MAX_SEGMENT_WORDS words — whichever comes first.
+    """
+    sep = "" if language in ("zh", "ja", "th", "yue") else " "
+    segs: List[Tuple[float, float, str]] = []
+    cur: List[dict] = []
+
+    def flush():
+        if cur:
+            text = sep.join(w["word"].strip() for w in cur).strip()
+            if text:
+                segs.append((cur[0]["start"], cur[-1]["end"], text))
+            cur.clear()
+
+    prev_end: Optional[float] = None
+    for w in words:
+        if prev_end is not None and w["start"] - prev_end > MAX_SEGMENT_GAP_S:
+            flush()
+        cur.append(w)
+        prev_end = w["end"]
+        token = w["word"].strip()
+        if len(cur) >= MAX_SEGMENT_WORDS or (
+                token and token[-1] in ".。!！?？"):
+            flush()
+    flush()
+    return segs
+
+
+def _segments(result) -> List[Tuple[float, float, str]]:
+    segs = result.segments
+    if not segs and getattr(result, "words", None):
+        segs = segments_from_words(result.words, result.language)
+    return segs
+
+
+def write_txt(result, f: IO[str]):
+    f.write(result.text + "\n")
+
+
+def write_json(result, f: IO[str]):
+    out = {
+        "text": result.text,
+        "language": result.language,
+        "audio_seconds": result.audio_seconds,
+        "rtf": result.rtf,
+        "segments": [
+            {"start": s, "end": e, "text": t} for s, e, t in _segments(result)
+        ],
+    }
+    if getattr(result, "words", None) is not None:
+        out["words"] = result.words
+    json.dump(out, f, ensure_ascii=False, indent=2)
+    f.write("\n")
+
+
+def write_srt(result, f: IO[str]):
+    for i, (start, end, text) in enumerate(_segments(result), 1):
+        f.write(f"{i}\n{_fmt_time(start)} --> {_fmt_time(end)}\n{text}\n\n")
+
+
+def write_vtt(result, f: IO[str]):
+    f.write("WEBVTT\n\n")
+    for start, end, text in _segments(result):
+        f.write(f"{_fmt_time(start, '.')} --> {_fmt_time(end, '.')}\n{text}\n\n")
+
+
+def write_tsv(result, f: IO[str]):
+    f.write("start\tend\ttext\n")
+    for start, end, text in _segments(result):
+        f.write(f"{int(start * 1000)}\t{int(end * 1000)}\t{text}\n")
+
+
+WRITERS = {
+    "txt": write_txt,
+    "json": write_json,
+    "srt": write_srt,
+    "vtt": write_vtt,
+    "tsv": write_tsv,
+}
+
+
+def write_result(result, fmt: str, f: IO[str]):
+    try:
+        writer = WRITERS[fmt]
+    except KeyError:
+        raise ValueError(
+            f"unknown output format {fmt!r}; known: {sorted(WRITERS)}")
+    writer(result, f)

@@ -42,6 +42,7 @@ class TranscribeResult:
     wall_seconds: float
     no_speech_prob: float = 0.0
     segments_list: Optional[list] = None  # explicit segments (longform seek)
+    words: Optional[list] = None  # [{word, start, end, probability}] (align.py)
 
     @property
     def rtf(self) -> float:
@@ -86,6 +87,8 @@ class WhisperPipeline:
         condition_on_previous_text: bool = True,
         initial_prompt: Optional[str] = None,
         longform_overlap_s: float = 2.0,
+        word_timestamps: bool = False,
+        alignment_heads: Optional[str] = None,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -113,6 +116,10 @@ class WhisperPipeline:
         # fixed-window long-form: overlap between windows so merge_texts'
         # duplicate trimming is live (0 would bisect words at boundaries)
         self.longform_overlap = int(longform_overlap_s * 16000)
+        # word-level timing (align.py): one extra teacher-forced decoder
+        # pass per batch; beyond-parity (the reference has no word timing)
+        self.word_timestamps = word_timestamps
+        self.alignment_heads = alignment_heads
 
         if checkpoint is not None:
             self.params, self.cfg = load_checkpoint(checkpoint, size=model)
@@ -249,13 +256,21 @@ class WhisperPipeline:
                               timestamps=self.timestamps)
         silent = self._silence_mask(result)
         texts = ["" if s else t for t, s in zip(texts, silent)]
-        wall = time.perf_counter() - t0
         toks = np.asarray(result.tokens)
         lens = np.asarray(result.lengths)
         nsp = (np.asarray(result.no_speech_prob)
                if hasattr(result, "no_speech_prob") else np.zeros(len(toks)))
 
+        chunk_words = None
+        if self.word_timestamps:
+            chunk_words = self._align_words(
+                cross_kv, toks, lens, prompts.shape[1],
+                np.asarray(lengths), langs, silent)
+        wall = time.perf_counter() - t0
+
         # regroup flat chunks back into utterances
+        window_step_s = (N_SAMPLES - self.longform_overlap) / 16000.0
+        overlap_s = self.longform_overlap / 16000.0
         out = []
         pos = 0
         for u, nc in enumerate(n_chunks):
@@ -264,6 +279,19 @@ class WhisperPipeline:
             merged = (merge_texts(chunk_texts, lang) if nc > 1 else chunk_texts[0])
             utt_tokens = np.concatenate(
                 [toks[pos + j, prompts.shape[1] : lens[pos + j]] for j in range(nc)])
+            words = None
+            if chunk_words is not None:
+                words = []
+                for j in range(nc):
+                    t0_win = j * window_step_s
+                    for w in chunk_words[pos + j]:
+                        rec = dict(w, start=round(w["start"] + t0_win, 3),
+                                   end=round(w["end"] + t0_win, 3))
+                        # overlap dedup: window j>0 re-hears the previous
+                        # window's tail; drop words fully inside the overlap
+                        if j > 0 and rec["end"] <= t0_win + overlap_s:
+                            continue
+                        words.append(rec)
             out.append(
                 TranscribeResult(
                     text=postprocess(merged, lang),
@@ -272,10 +300,61 @@ class WhisperPipeline:
                     audio_seconds=len(waves[u]) / 16000.0,
                     wall_seconds=wall / len(audios),
                     no_speech_prob=float(nsp[pos]),
+                    words=words,
                 )
             )
             pos += nc
         return out
+
+    def _align_words(self, cross_kv, toks, lens, prompt_len, sample_lens,
+                     langs, silent):
+        """Per-chunk word timings via one teacher-forced alignment pass
+        (align.py). Runs in sub-batches of 8 chunks to bound the attention
+        map residency ((L, B, H, S, Ta) fp32 on device)."""
+        import dataclasses as _dc
+        import math
+
+        from .align import (
+            alignment_cross_attn,
+            alignment_head_mask,
+            dequantize_cross_kv,
+            merge_punctuations,
+            words_from_attention,
+        )
+
+        fp_kv = dequantize_cross_kv(cross_kv)
+        head_mask = alignment_head_mask(self.cfg, self.alignment_heads)
+        n = len(toks)
+        words: List[list] = [[] for _ in range(n)]
+        for lo in range(0, n, 8):
+            hi = min(lo + 8, n)
+            smax = int(max(lens[lo:hi])) + 1
+            S = min(max(32, 32 * math.ceil(smax / 32)), self.cfg.n_text_ctx)
+            seqs = np.full((hi - lo, S), self.cfg.eot, np.int32)
+            for i in range(lo, hi):
+                L = min(int(lens[i]) + 1, S)
+                seqs[i - lo, :L] = toks[i, :L]
+            attn, tlp = alignment_cross_attn(
+                self.params, jnp.asarray(seqs),
+                tuple(a[:, lo:hi] for a in fp_kv), self.cfg,
+                self.compute_dtype)
+            attn = np.asarray(attn, np.float32)  # (L, b, H, S, Ta)
+            tlp = np.asarray(tlp, np.float32)
+            for i in range(lo, hi):
+                if silent[i]:
+                    continue  # gated to "" — no words
+                frames = min(int(np.ceil(sample_lens[i] / 320)),
+                             self.cfg.n_audio_ctx)
+                L = min(int(lens[i]) + 1, S)
+                tok = _dc.replace(self.tokenizer, language=langs[i])
+                ws = words_from_attention(
+                    attn[:, i - lo, :, :L], seqs[i - lo, :L], prompt_len,
+                    tok, self.cfg, frames,
+                    token_logprobs=tlp[i - lo], head_mask=head_mask)
+                if langs[i] not in ("zh", "ja", "th", "lo", "my", "yue"):
+                    ws = merge_punctuations(ws)
+                words[i] = ws
+        return words
 
     # ------------------------------------------------------------------
     @staticmethod
