@@ -847,3 +847,71 @@ def test_http_temperature_param(http_server, rng):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(bad, timeout=30)
     assert ei.value.code == 400
+
+
+# -------------------------------------------------------- word timestamps
+@pytest.fixture(scope="module")
+def engine_wt(nano_params):
+    """Engine with the REAL tokenizer (word splitting needs it)."""
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, tok,
+        max_slots=4,
+        compute_dtype=jnp.float32,
+        steps_per_sync=2,
+        max_tokens=10,
+        apply_filters=False,
+    ).start()
+    yield eng
+    eng.stop()
+
+
+def test_engine_word_timestamps(engine_wt, rng):
+    req = Request(audio=_audio(rng), language="en", word_timestamps=True)
+    res = engine_wt.submit(req).result(timeout=120)
+    assert res["success"]
+    assert isinstance(res["words"], list)
+    for w in res["words"]:
+        assert 0.0 <= w["start"] <= w["end"]
+        assert "probability" in w
+    starts = [w["start"] for w in res["words"]]
+    assert starts == sorted(starts)
+
+
+def test_engine_word_timestamps_longform(engine_wt, rng):
+    """>30 s request: window-local word times come back absolute."""
+    req = Request(audio=_audio(rng, seconds=40), language="en",
+                  word_timestamps=True)
+    res = engine_wt.submit(req).result(timeout=300)
+    assert res["success"] and res["windows"] == 2
+    assert isinstance(res["words"], list)
+    starts = [w["start"] for w in res["words"]]
+    assert starts == sorted(starts)
+    # second window's surviving words sit past the overlap boundary
+    if any(s > 30 for s in starts):
+        assert max(starts) <= res["audio_seconds"] + 1.0
+
+
+def test_http_word_timestamps_param(engine_wt, rng):
+    srv = make_server(engine_wt, "127.0.0.1", 0, request_timeout_s=120)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        wav = _audio(rng, 0.4)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/asr?language=en&word_timestamps=1",
+            data=wav.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        res = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert res["success"] and isinstance(res["words"], list)
+        # without the flag, no words key
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/asr?language=en", data=wav.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        res2 = json.loads(urllib.request.urlopen(req2, timeout=120).read())
+        assert res2["success"] and "words" not in res2
+    finally:
+        srv.shutdown()

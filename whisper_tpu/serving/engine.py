@@ -78,6 +78,10 @@ class Request:
     # Expired requests fail with TimeoutError and their slot is freed —
     # HTTP-level timeouts alone leave the slot decoding for a dead client.
     deadline_s: Optional[float] = None
+    # per-word timings (align.py): the harvested slot's cross-KV is re-used
+    # for one teacher-forced alignment pass on a side thread, so the decode
+    # loop never stalls on it. Greedy slots only (ignored on the beam path).
+    word_timestamps: bool = False
     # "auto" requests keep language="auto" (a failed/retried request must not
     # lose it); the detected code lands here. The detection result stays on
     # device until harvest: _lang_holder is a dict shared by the admission
@@ -331,6 +335,10 @@ class ContinuousBatchingEngine:
         self._beam_cv = threading.Condition()
         self._beam_thread: Optional[threading.Thread] = None
         self._beam_max_queue = max_queue
+        # word-timestamp alignment worker (lazy; one thread keeps alignment
+        # passes serialized so they interleave with decode dispatch instead
+        # of competing with it)
+        self._align_pool = None
 
     # ------------------------------------------------------------- helpers
     def _head_sharding(self, ndim: int):
@@ -439,8 +447,21 @@ class ContinuousBatchingEngine:
             wall = time.perf_counter() - req.enqueued_at
             audio_s = len(req.audio) / 16000.0
             lps = [r["avg_logprob"] for r in results]
+            words = None
+            if req.word_timestamps:
+                # window-local times -> absolute; drop overlap re-hearings
+                step = (N_SAMPLES - self.longform_overlap) / 16000.0
+                ov = self.longform_overlap / 16000.0
+                words = []
+                for j, r in enumerate(results):
+                    for w in (r.get("words") or []):
+                        rec = dict(w, start=round(w["start"] + j * step, 3),
+                                   end=round(w["end"] + j * step, 3))
+                        if j > 0 and rec["end"] <= j * step + ov:
+                            continue
+                        words.append(rec)
             if not req.future.done():
-                req.future.set_result({
+                payload = {
                     "success": True,
                     "text": text,
                     "language": lang,
@@ -454,7 +475,10 @@ class ContinuousBatchingEngine:
                     "compression_ratio": max(r["compression_ratio"]
                                              for r in results),
                     "quality_ok": all(r["quality_ok"] for r in results),
-                })
+                }
+                if words is not None:
+                    payload["words"] = words
+                req.future.set_result(payload)
 
         if self._queue.maxsize and (self._queue.qsize() + n
                                     > self._queue.maxsize):
@@ -465,7 +489,8 @@ class ContinuousBatchingEngine:
             child = Request(audio=w, language=req.language, task=req.task,
                             deadline_s=req.deadline_s,
                             beam_size=req.beam_size,
-                            temperature=req.temperature)
+                            temperature=req.temperature,
+                            word_timestamps=req.word_timestamps)
             # deadline is relative to the PARENT's arrival, not the window's
             child.enqueued_at = req.enqueued_at
             if req.on_partial is not None:
@@ -518,6 +543,9 @@ class ContinuousBatchingEngine:
             self._thread.join(timeout=30)
         if self._beam_thread is not None:
             self._beam_thread.join(timeout=30)
+        if self._align_pool is not None:
+            self._align_pool.shutdown(wait=True)
+            self._align_pool = None
 
     # ------------------------------------------------------------- jitted pieces
     @functools.cached_property
@@ -1010,7 +1038,7 @@ class ContinuousBatchingEngine:
             # InvalidStateError, and the run-loop catch-all would fail every
             # in-flight request (ADVICE round 2). Free the slot either way.
             if not req.future.done():
-                req.future.set_result({
+                result = {
                     "success": True,
                     "text": text,
                     "language": lang,
@@ -1024,7 +1052,17 @@ class ContinuousBatchingEngine:
                     "avg_logprob": avg_lp,
                     "compression_ratio": comp,
                     "quality_ok": quality_ok,
-                })
+                }
+                if req.word_timestamps and text and not silenced:
+                    # resolve off-thread after the alignment pass; the slot
+                    # cross-KV slice is captured NOW (jax arrays are
+                    # immutable — re-admitting the slot can't clobber it)
+                    self._submit_align(req, result, i, tokens_h, offs_h, P,
+                                       lang)
+                else:
+                    if req.word_timestamps:
+                        result["words"] = []
+                    req.future.set_result(result)
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
         # deactivate harvested slots
@@ -1034,6 +1072,66 @@ class ContinuousBatchingEngine:
         self.active = jnp.where(m, False, self.active)
         self.done = jnp.where(m, False, self.done)
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
+
+    # -------------------------------------------------------- word alignment
+    def _submit_align(self, req: Request, result: dict, slot: int,
+                      tokens_h, offs_h, prompt_len: int, lang: str):
+        """Queue a word-timestamp alignment for a harvested slot.
+
+        The decode loop only pays for the device-side slice of the slot's
+        cross-KV; the teacher-forced pass + DTW run on the align worker
+        (align.py), which resolves the future when done."""
+        cross_slice = tuple(x[:, slot : slot + 1] for x in self.cross)
+        off = int(offs_h[slot])
+        seq = np.concatenate(
+            [tokens_h[slot, :off], [self.cfg.eot]]).astype(np.int32)
+        if self._align_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._align_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cb-align")
+        audio_samples = min(len(req.audio), N_SAMPLES)
+        self._align_pool.submit(self._align_job, req, result, cross_slice,
+                                seq, prompt_len, lang, audio_samples)
+
+    def _align_job(self, req: Request, result: dict, cross_slice, seq,
+                   prompt_len: int, lang: str, audio_samples: int):
+        try:
+            import dataclasses
+            import math
+
+            from ..align import (
+                alignment_cross_attn,
+                dequantize_cross_kv,
+                merge_punctuations,
+                words_from_attention,
+            )
+
+            fp = dequantize_cross_kv(cross_slice)
+            S = min(max(32, 32 * math.ceil(len(seq) / 32)),
+                    self.cfg.n_text_ctx)
+            toks = np.full((1, S), self.cfg.eot, np.int32)
+            L = min(len(seq), S)
+            toks[0, :L] = seq[:L]
+            attn, tlp = alignment_cross_attn(
+                self.params, jnp.asarray(toks), fp, self.cfg, self.dt)
+            attn = np.asarray(attn, np.float32)
+            frames = min(int(np.ceil(audio_samples / 320)),
+                         self.cfg.n_audio_ctx)
+            tok = (dataclasses.replace(self.tokenizer, language=lang)
+                   if dataclasses.is_dataclass(self.tokenizer)
+                   else self.tokenizer)
+            ws = words_from_attention(
+                attn[:, 0, :, :L], toks[0, :L], prompt_len, tok, self.cfg,
+                frames, token_logprobs=np.asarray(tlp[0], np.float32))
+            if lang not in ("zh", "ja", "th", "lo", "my", "yue"):
+                ws = merge_punctuations(ws)
+            result["words"] = ws
+        except Exception as e:  # noqa: BLE001 — words are best-effort
+            result["words"] = None
+            result["align_error"] = f"{type(e).__name__}: {e}"
+        if not req.future.done():
+            req.future.set_result(result)
 
     def _fail_inflight(self, exc: BaseException):
         """Fail every in-flight and queued request; reset slot state so the

@@ -126,6 +126,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
             task = qs.get("task", "transcribe")
             beam = qs.get("beam", "1")
             temperature = qs.get("temperature", "0")
+            word_ts = qs.get("word_timestamps", "0")
 
             if ctype.startswith("multipart/form-data"):
                 fields = parse_multipart(body, ctype)
@@ -138,6 +139,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 beam = fields.get("beam", beam) or beam
                 temperature = (fields.get("temperature", temperature)
                                or temperature)
+                word_ts = fields.get("word_timestamps", word_ts) or word_ts
             elif ctype.startswith("application/octet-stream"):
                 if len(body) % 4 != 0:
                     # C++ server semantics (WhisperHTTPServer.hpp:60-71)
@@ -149,6 +151,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 task = self.headers.get("X-Task", task)
                 beam = self.headers.get("X-Beam", beam)
                 temperature = self.headers.get("X-Temperature", temperature)
+                word_ts = self.headers.get("X-Word-Timestamps", word_ts)
             else:
                 # bare WAV body as a convenience
                 audio = load_audio(body)
@@ -178,6 +181,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 self._send(400, {"success": False,
                                  "error": "temperature must be in [0, 2]"})
                 return
+            word_ts = str(word_ts).lower() in ("1", "true", "yes", "on")
 
             stream = self.headers.get("X-Stream") == "1" or qs.get("stream") == "1"
             if stream:
@@ -185,7 +189,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 return
             fut = self.engine.submit(Request(audio=audio, language=language,
                                              task=task, beam_size=beam,
-                                             temperature=temperature))
+                                             temperature=temperature,
+                                             word_timestamps=word_ts))
             result = fut.result(timeout=self.request_timeout_s)
             self._send(200, result)
         except OverloadedError as e:
