@@ -915,3 +915,25 @@ def test_http_word_timestamps_param(engine_wt, rng):
         assert res2["success"] and "words" not in res2
     finally:
         srv.shutdown()
+
+
+def test_engine_word_timestamps_int8_cross(nano_params, rng):
+    """kv_quant engine: the align worker dequantizes the slot's int8
+    cross-KV slice (align.dequantize_cross_kv) before the alignment pass."""
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, tok, max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=8, apply_filters=False,
+        kv_quant=True).start()
+    try:
+        req = Request(audio=_audio(rng), language="en", word_timestamps=True)
+        res = eng.submit(req).result(timeout=120)
+        assert res["success"]
+        assert isinstance(res["words"], list)
+        assert "align_error" not in res
+        starts = [w["start"] for w in res["words"]]
+        assert starts == sorted(starts)
+    finally:
+        eng.stop()

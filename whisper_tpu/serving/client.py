@@ -20,6 +20,7 @@ def transcribe_file(
     timeout: float = 300.0,
     use_multipart: bool = True,
     beam: int = 1,
+    word_timestamps: bool = False,
 ) -> dict:
     url = f"http://{host}:{port}/asr"
     if use_multipart:
@@ -37,6 +38,9 @@ def transcribe_file(
             'Content-Disposition: form-data; name="beam"\r\n\r\n'
             f"{beam}\r\n"
             f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="word_timestamps"\r\n\r\n'
+            f"{int(word_timestamps)}\r\n"
+            f"--{boundary}\r\n"
             'Content-Disposition: form-data; name="wav"; filename="audio.wav"\r\n'
             "Content-Type: audio/wav\r\n\r\n"
         ).encode() + wav + f"\r\n--{boundary}--\r\n".encode()
@@ -51,7 +55,8 @@ def transcribe_file(
             url, data=pcm,
             headers={"Content-Type": "application/octet-stream",
                      "X-Language": language, "X-Task": task,
-                     "X-Beam": str(beam)})
+                     "X-Beam": str(beam),
+                     "X-Word-Timestamps": str(int(word_timestamps))})
     with urllib.request.urlopen(req, timeout=timeout) as r:
         return json.load(r)
 
@@ -71,10 +76,13 @@ def main(argv=None) -> int:
     p.add_argument("--pcm", action="store_true", help="use the raw-PCM protocol")
     p.add_argument("--beam", type=int, default=1,
                    help="beam size (1 = greedy slots; >1 = beam worker)")
+    p.add_argument("--word_timestamps", action="store_true",
+                   help="request per-word timings (align.py)")
     args = p.parse_args(argv)
     res = transcribe_file(args.wav, args.host, args.port, args.language,
                           args.task, use_multipart=not args.pcm,
-                          beam=args.beam)
+                          beam=args.beam,
+                          word_timestamps=args.word_timestamps)
     print(json.dumps(res, ensure_ascii=False, indent=2))
     return 0 if res.get("success") else 1
 
