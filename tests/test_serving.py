@@ -937,3 +937,25 @@ def test_engine_word_timestamps_int8_cross(nano_params, rng):
         assert starts == sorted(starts)
     finally:
         eng.stop()
+
+
+def test_http_streaming_word_timestamps(engine_wt, rng):
+    """X-Stream + word_timestamps: final NDJSON line carries words."""
+    srv = make_server(engine_wt, "127.0.0.1", 0, request_timeout_s=120)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        wav = _audio(rng, 0.3)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/asr?language=en&stream=1"
+            "&word_timestamps=1",
+            data=wav.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            lines = [json.loads(ln) for ln in r.read().decode().splitlines()
+                     if ln]
+        final = lines[-1]
+        assert final["success"] and isinstance(final["words"], list)
+    finally:
+        srv.shutdown()

@@ -46,7 +46,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _stream_request(self, audio, language: str, task: str, beam: int = 1,
-                        temperature: float = 0.0):
+                        temperature: float = 0.0,
+                        word_timestamps: bool = False):
         """Chunked response: one JSON line per partial, then the final result.
 
         Streaming partials per decode round is new capability — the reference
@@ -57,6 +58,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
         partials: "_q.Queue[str]" = _q.Queue()
         req = Request(audio=audio, language=language, task=task,
                       beam_size=beam, temperature=temperature,
+                      word_timestamps=word_timestamps,
                       on_partial=partials.put)
         fut = self.engine.submit(req)
 
@@ -185,7 +187,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
 
             stream = self.headers.get("X-Stream") == "1" or qs.get("stream") == "1"
             if stream:
-                self._stream_request(audio, language, task, beam, temperature)
+                self._stream_request(audio, language, task, beam, temperature,
+                                     word_timestamps=word_ts)
                 return
             fut = self.engine.submit(Request(audio=audio, language=language,
                                              task=task, beam_size=beam,
