@@ -287,3 +287,43 @@ def test_dp2_subprocess_integration(rng, tmp_path):
             proc.wait(timeout=15)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_router_split_merges_word_timestamps(rng):
+    """Router-split windows carry word_timestamps through and the merged
+    response has absolute, sorted word times."""
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    engines, servers, urls = [], [], []
+    for _ in range(2):
+        eng = ContinuousBatchingEngine(
+            init_params(NANO), NANO, tok, max_slots=2,
+            compute_dtype=jnp.float32, steps_per_sync=2, max_tokens=8,
+            apply_filters=False).start()
+        srv = make_server(eng, "127.0.0.1", 0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        engines.append(eng)
+        servers.append(srv)
+        urls.append(f"http://127.0.0.1:{srv.server_address[1]}")
+    router_srv = make_router(urls, "127.0.0.1", 0)
+    threading.Thread(target=router_srv.serve_forever, daemon=True).start()
+    try:
+        port = router_srv.server_address[1]
+        pcm = (rng.standard_normal(16000 * 70) * 0.1).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/asr?language=en&word_timestamps=1",
+            data=pcm.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        body = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert body["success"] and body["split"] == "router"
+        assert isinstance(body["words"], list)
+        starts = [w["start"] for w in body["words"]]
+        assert starts == sorted(starts)
+        assert all(0 <= w["start"] <= w["end"] <= 70.5 for w in body["words"])
+    finally:
+        router_srv.shutdown()
+        for s in servers:
+            s.shutdown()
+        for e in engines:
+            e.stop()

@@ -117,7 +117,9 @@ class WhisperPipeline:
         # duplicate trimming is live (0 would bisect words at boundaries)
         self.longform_overlap = int(longform_overlap_s * 16000)
         # word-level timing (align.py): one extra teacher-forced decoder
-        # pass per batch; beyond-parity (the reference has no word timing)
+        # pass per batch; beyond-parity (the reference has no word timing).
+        # Applies to transcribe_batch (fixed-window) — the seek-based
+        # transcribe_longform path reports segment times instead.
         self.word_timestamps = word_timestamps
         self.alignment_heads = alignment_heads
 

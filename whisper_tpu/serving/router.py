@@ -221,7 +221,8 @@ def _parse_asr_request(body: bytes, ctype: str, headers, qs: dict):
     params = {"language": qs.get("language", "zh"),
               "task": qs.get("task", "transcribe"),
               "beam": qs.get("beam", "1"),
-              "temperature": qs.get("temperature", "0")}
+              "temperature": qs.get("temperature", "0"),
+              "word_timestamps": qs.get("word_timestamps", "0")}
     try:
         if ctype.startswith("multipart/form-data"):
             from .wire import parse_multipart
@@ -239,7 +240,8 @@ def _parse_asr_request(body: bytes, ctype: str, headers, qs: dict):
                 return None
             audio = pcm_f32_from_bytes(body)
             for k, h in (("language", "X-Language"), ("task", "X-Task"),
-                         ("beam", "X-Beam"), ("temperature", "X-Temperature")):
+                         ("beam", "X-Beam"), ("temperature", "X-Temperature"),
+                         ("word_timestamps", "X-Word-Timestamps")):
                 v = headers.get(h)
                 if v:
                     params[k] = v
@@ -307,7 +309,8 @@ class RouterHandler(BaseHTTPRequestHandler):
                 "X-Language": str(params["language"]),
                 "X-Task": str(params["task"]),
                 "X-Beam": str(params["beam"]),
-                "X-Temperature": str(params["temperature"])}
+                "X-Temperature": str(params["temperature"]),
+                "X-Word-Timestamps": str(params["word_timestamps"])}
         t0 = time.perf_counter()
 
         def one(w: np.ndarray) -> dict:
@@ -355,6 +358,21 @@ class RouterHandler(BaseHTTPRequestHandler):
             out["compression_ratio"] = float(max(crs))
         if all("quality_ok" in r for r in results):
             out["quality_ok"] = all(r["quality_ok"] for r in results)
+        if str(params["word_timestamps"]).lower() in ("1", "true", "yes",
+                                                      "on"):
+            # window-local word times -> absolute; drop overlap re-hearings
+            # (same merge the engine applies to ITS windows)
+            step = (N_SAMPLES - overlap) / SAMPLE_RATE
+            ov = overlap / SAMPLE_RATE
+            words = []
+            for j, r in enumerate(results):
+                for w in (r.get("words") or []):
+                    rec = dict(w, start=round(w["start"] + j * step, 3),
+                               end=round(w["end"] + j * step, 3))
+                    if j > 0 and rec["end"] <= j * step + ov:
+                        continue
+                    words.append(rec)
+            out["words"] = words
         self._send(200, out)
         return True
 
