@@ -872,6 +872,7 @@ def test_engine_word_timestamps(engine_wt, rng):
     req = Request(audio=_audio(rng), language="en", word_timestamps=True)
     res = engine_wt.submit(req).result(timeout=120)
     assert res["success"]
+    assert engine_wt.stats.snapshot()["align_total"] >= 1
     assert isinstance(res["words"], list)
     for w in res["words"]:
         assert 0.0 <= w["start"] <= w["end"]

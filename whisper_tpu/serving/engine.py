@@ -114,6 +114,7 @@ class EngineStats:
     low_quality_total: int = 0    # compression-ratio / logprob criteria failed
     beam_requests_total: int = 0  # requests served by the beam worker
     retries_total: int = 0        # temperature-ladder re-decodes
+    align_total: int = 0          # word-timestamp alignment passes run
     # phase breakdown of busy time (sums to ~busy_seconds_total). JAX
     # dispatch is async, so admit/step measure HOST-side cost (audio prep,
     # bucketing, dispatch); device execution of everything dispatched in the
@@ -1127,6 +1128,7 @@ class ContinuousBatchingEngine:
             if lang not in ("zh", "ja", "th", "lo", "my", "yue"):
                 ws = merge_punctuations(ws)
             result["words"] = ws
+            self.stats.align_total += 1
         except Exception as e:  # noqa: BLE001 — words are best-effort
             result["words"] = None
             result["align_error"] = f"{type(e).__name__}: {e}"
