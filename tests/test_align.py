@@ -209,9 +209,10 @@ def test_merge_punctuations():
 
 
 # ------------------------------------------------------------- pipeline e2e
-def test_pipeline_word_timestamps_e2e(tmp_path):
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_pipeline_word_timestamps_e2e(tmp_path, kv_quant):
     """Random-weight tiny-config-free e2e: words come back monotone within
-    the audio span, and silent gating yields no words."""
+    the audio span (incl. the int8 cross-KV dequantize path)."""
     from whisper_tpu.pipeline import WhisperPipeline
 
     pipe = WhisperPipeline.__new__(WhisperPipeline)  # skip heavy init
@@ -225,7 +226,7 @@ def test_pipeline_word_timestamps_e2e(tmp_path):
     pipe.timestamps = False
     pipe.max_tokens = 6
     pipe.apply_filters = False
-    pipe.kv_quant = False
+    pipe.kv_quant = kv_quant
     pipe.self_kv_quant = False
     pipe.temperature = 0.0
     pipe.temperature_fallback = False
