@@ -24,6 +24,10 @@ def __getattr__(name):  # lazy heavyweight entry points
         from .beam import beam_search
 
         return beam_search
+    if name == "write_result":
+        from .formats import write_result
+
+        return write_result
     raise AttributeError(name)
 
 
@@ -38,5 +42,6 @@ __all__ = [
     "LANGUAGES",
     "greedy_decode",
     "beam_search",
+    "write_result",
     "__version__",
 ]
