@@ -161,7 +161,12 @@ def log_mel_spectrogram(
     x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     power = _power_spectrum(x, n_fft, hop)
     fb = jnp.asarray(mel_filterbank(n_mels, n_fft))
-    mel = jnp.einsum("mf,bft->bmt", fb, power, preferred_element_type=jnp.float32)
+    # fp32 island too: TPU default matmul precision is bf16 — a bf16 mel
+    # contraction costs ~7.6e-4 abs in the normalized log-mel (measured),
+    # an order of magnitude over the fp32 round-off budget
+    mel = jnp.einsum("mf,bft->bmt", fb, power,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     feats = _normalize(log_spec, jnp.max(log_spec, axis=(1, 2)))
     if pad_to is not None:
@@ -198,7 +203,10 @@ def log_mel_batch(
     x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     power = _power_spectrum(x, n_fft, hop, n_frames=N_FRAMES)
     fb = jnp.asarray(mel_filterbank(n_mels, n_fft))
-    mel = jnp.einsum("mf,bft->bmt", fb, power, preferred_element_type=jnp.float32)
+    # fp32 island (see log_mel_spectrogram): pin the mel contraction to fp32
+    mel = jnp.einsum("mf,bft->bmt", fb, power,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
 
     n_valid = jnp.minimum(lengths // hop + 1, N_FRAMES)
