@@ -143,6 +143,79 @@ def test_dequantize_cross_kv_roundtrip(nano_setup):
     assert dequantize_cross_kv(cross_kv) is cross_kv
 
 
+def test_median7_network_matches_numpy():
+    from whisper_tpu.align import _median7_time
+
+    rng = np.random.default_rng(9)
+    arrs = [rng.standard_normal((3, 17)).astype(np.float32) for _ in range(7)]
+    got = np.asarray(_median7_time([jnp.asarray(a) for a in arrs]))
+    want = np.median(np.stack(arrs), axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_alignment_matrix_matches_host_reference(nano_setup):
+    """Device-reduced matrix (head mask + standardize + median filter +
+    head-mean on device) == the host post-processing of the full attention
+    stack, per utterance, with ragged row/frame validity."""
+    from whisper_tpu.align import alignment_matrix, median_filter
+
+    params, cross_kv = nano_setup
+    B, S, Ta = 2, 12, NANO.n_audio_ctx
+    rng = np.random.default_rng(21)
+    tokens = np.full((B, S), NANO.eot, np.int32)
+    prompt_len = 2
+    Ls = [S, 8]           # utterance 1 has padding rows
+    frames = [Ta, 20]     # utterance 1 has a short audio span
+    for b in range(B):
+        tokens[b, : Ls[b]] = rng.integers(0, 200, Ls[b])
+    row_mask = np.zeros((B, S), bool)
+    for b in range(B):
+        row_mask[b, prompt_len : Ls[b]] = True
+    hm = alignment_head_mask(NANO)
+
+    got, tlp = alignment_matrix(
+        params, jnp.asarray(tokens), cross_kv,
+        jnp.asarray(hm, jnp.float32), jnp.asarray(row_mask),
+        jnp.asarray(frames, jnp.int32), NANO)
+    got = np.asarray(got, np.float32)
+    assert got.shape == (B, S, Ta)
+
+    attn, tlp_ref = alignment_cross_attn(params, jnp.asarray(tokens),
+                                         cross_kv, NANO)
+    attn = np.asarray(attn, np.float32)
+    np.testing.assert_allclose(np.asarray(tlp), np.asarray(tlp_ref),
+                               rtol=1e-4, atol=1e-4)
+    for b in range(B):
+        sel = attn[:, b][hm][:, prompt_len : Ls[b], : frames[b]]
+        mean = sel.mean(axis=-2, keepdims=True)
+        std = sel.std(axis=-2, keepdims=True) + 1e-9
+        want = median_filter((sel - mean) / std, 7).mean(axis=0)
+        np.testing.assert_allclose(
+            got[b, prompt_len : Ls[b], : frames[b]], want,
+            rtol=2e-3, atol=2e-3)
+
+
+def test_words_eot_row_excluded_from_dtw():
+    """Word times must be INVARIANT to the eot row's attention: OpenAI's
+    find_alignment drops the final row before DTW (ADVICE r3) so the noisy
+    eot map cannot distort the path through the real tokens."""
+    from whisper_tpu.align import words_from_matrix
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    text_ids = tok.encode(" hi there")
+    rows = text_ids + [tok.eot]
+    St, F = len(rows), 40
+    t = np.linspace(0, F - 1, St)
+    base = np.exp(-((np.arange(F)[None, :] - t[:, None]) ** 2) / 2.0)
+    words_a = words_from_matrix(base.copy(), rows, tok)
+    # mangle the eot row wildly: concentrated on one arbitrary mid frame
+    mangled = base.copy()
+    mangled[St - 1, :] = 1e-6
+    mangled[St - 1, 7] = 1.0
+    words_b = words_from_matrix(mangled, rows, tok)
+    assert words_a == words_b and len(words_a) == 2
+
+
 # ------------------------------------------------------------- words
 def _diag_attention(n_rows, n_frames, L, H, sharp=50.0):
     """Synthetic maps attending diagonally: token i -> frame i*stride."""
@@ -209,6 +282,7 @@ def test_merge_punctuations():
 
 
 # ------------------------------------------------------------- pipeline e2e
+@pytest.mark.slow
 @pytest.mark.parametrize("kv_quant", [False, True])
 def test_pipeline_word_timestamps_e2e(tmp_path, kv_quant):
     """Random-weight tiny-config-free e2e: words come back monotone within

@@ -49,6 +49,7 @@ def test_stereo_downmix(tmp_path, rng):
     np.testing.assert_allclose(y, (L + R) / 2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_resample_tone():
     # 440 Hz tone at 44.1k -> 16k keeps frequency content
     sr0 = 44100

@@ -41,6 +41,7 @@ def _prompt(b):
         np.tile(np.asarray([NANO.sot_sequence("zh", "transcribe")], np.int32), (b, 1)))
 
 
+@pytest.mark.slow
 def test_beam1_matches_greedy(params, rng):
     """beam=1 without filters must reproduce greedy argmax decoding."""
     mel = _mel(rng, b=2)
@@ -64,6 +65,7 @@ def test_beam_shapes_and_score_order(params, rng):
     assert np.allclose(np.asarray(res.scores), s.max(axis=1), atol=1e-5) or True
 
 
+@pytest.mark.slow
 def test_beam_deterministic(params, rng):
     mel = _mel(rng)
     r1 = beam_search(params, mel, _prompt(1), NANO, beam_size=3, apply_filters=False)
@@ -71,6 +73,7 @@ def test_beam_deterministic(params, rng):
     np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
 
 
+@pytest.mark.slow
 def test_beam_batch_matches_single(params, rng):
     mel2 = _mel(rng, b=2)
     both = beam_search(params, mel2, _prompt(2), NANO, beam_size=3, apply_filters=False)
@@ -116,6 +119,7 @@ def test_beam_prompt_preserved(params, rng):
     assert (toks[0, lens[0]:] == NANO.eot).all()
 
 
+@pytest.mark.slow
 def test_beam_no_speech_prob(params, rng):
     res = beam_search(params, _mel(rng, b=2), _prompt(2), NANO, beam_size=2,
                       apply_filters=False, max_tokens=6)
@@ -124,6 +128,7 @@ def test_beam_no_speech_prob(params, rng):
     assert ((p >= 0) & (p <= 1)).all()
 
 
+@pytest.mark.slow
 def test_beam_with_timestamps_grammar(params, rng):
     """Beam + timestamp rules: outputs obey the pair/monotonicity grammar."""
     mel = _mel(rng)

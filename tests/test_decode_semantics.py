@@ -53,6 +53,7 @@ def _prompt(b=2):
         np.tile(np.asarray(NANO.sot_sequence("zh", "transcribe"), np.int32), (b, 1)))
 
 
+@pytest.mark.slow
 def test_greedy_decode_kv_matches_fused(params, rng):
     """Split encode+decode must produce the exact tokens of the fused path."""
     mel = _mel(rng)
@@ -66,6 +67,7 @@ def test_greedy_decode_kv_matches_fused(params, rng):
                                np.asarray(split.no_speech_prob), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_greedy_decode_kv_matches_fused_quantized(params, rng):
     mel = _mel(rng)
     prompt = _prompt()
@@ -75,6 +77,7 @@ def test_greedy_decode_kv_matches_fused_quantized(params, rng):
     np.testing.assert_array_equal(np.asarray(fused.tokens), np.asarray(split.tokens))
 
 
+@pytest.mark.slow
 def test_detect_language_kv_matches(params, rng):
     mel = _mel(rng)
     ckv = encode_cross_kv(params, mel, NANO)
@@ -84,6 +87,7 @@ def test_detect_language_kv_matches(params, rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_index_cross_kv_subset_decode(params, rng):
     """Retry-ladder invariant: decoding an indexed cross-KV subset equals the
     matching rows of the full-batch decode."""
@@ -96,6 +100,7 @@ def test_index_cross_kv_subset_decode(params, rng):
     np.testing.assert_array_equal(np.asarray(full.tokens)[idx], np.asarray(sub.tokens))
 
 
+@pytest.mark.slow
 def test_beam_kv_matches_fused(params, rng):
     from whisper_tpu.beam import beam_search, beam_search_kv
 
@@ -125,6 +130,7 @@ def _fresh_jit_caches():
     jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_beam_padded_prompt_parity(params, rng):
     """Beam with a zero left-pad must equal beam without prompt_pad — the
     invariant that lets longform condition-on-previous use beam search."""
@@ -140,6 +146,7 @@ def test_beam_padded_prompt_parity(params, rng):
     np.testing.assert_array_equal(np.asarray(plain.tokens), np.asarray(padded.tokens))
 
 
+@pytest.mark.slow
 def test_beam_left_padded_matches_unpadded(params, rng):
     """Beam with a real left-pad (masked, position-shifted) must decode the
     same continuation as the unpadded prompt."""
@@ -168,6 +175,7 @@ def test_beam_left_padded_matches_unpadded(params, rng):
                                np.asarray(r_pad.no_speech_prob), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_beam_self_kv_quant_smoke(params, rng):
     """Beam with the packed int8 self-KV cache runs and keeps valid shapes
     (numerics shift within int8 rounding; token identity isn't guaranteed)."""
@@ -269,6 +277,7 @@ print("SEEK_SILENT_OK")
 """
 
 
+@pytest.mark.slow
 def test_transcribe_seek_skips_silent_windows():
     """With everything classified silent, the seek loop advances full windows,
     emits nothing, and terminates.
@@ -291,6 +300,7 @@ def test_transcribe_seek_skips_silent_windows():
     assert "SEEK_SILENT_OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_initial_prompt_prefix(params, rng):
     """initial_prompt builds a [sot_prev, tokens] prefix and the decode
     matches a manual greedy_decode with the same prompt + sot_index."""

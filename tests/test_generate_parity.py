@@ -18,6 +18,8 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # transformers-anchored parity: heavy setup, nightly tier
+
 from whisper_tpu.config import WhisperConfig
 from whisper_tpu.decode import greedy_decode
 from whisper_tpu.models.checkpoint import from_hf_state_dict

@@ -2,6 +2,7 @@
 at 30 s, python/whisper.py:148-152)."""
 
 import numpy as np
+import pytest
 
 from whisper_tpu.config import N_SAMPLES
 from whisper_tpu.longform import merge_texts, plan_chunks, split_audio
@@ -71,6 +72,7 @@ def test_pipeline_longform_batches(monkeypatch, rng):
     assert len(c1) == 3 and len(c2) == 1
 
 
+@pytest.mark.slow
 def test_transcribe_seek_nano(rng):
     """Seek strategy: windows advance by decoded timestamps; global segment
     times are offset by the window position; terminates on all inputs."""
@@ -131,6 +133,7 @@ def _nano_cfg():
         n_text_state=64, n_text_head=2, n_text_layer=2)
 
 
+@pytest.mark.slow
 def test_padded_prompt_parity(rng):
     """A left-padded (attention-masked, position-shifted) prompt must decode
     identically to the same prompt without padding — the invariant behind
@@ -169,6 +172,7 @@ def test_padded_prompt_parity(rng):
                                np.asarray(r_pad.no_speech_prob), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_padded_prompt_mixed_lengths(rng):
     """Streams with different pads in ONE batch each match their solo run."""
     import jax.numpy as jnp
@@ -203,6 +207,7 @@ def test_padded_prompt_mixed_lengths(rng):
             np.asarray(rs.tokens)[0, solo.shape[1]:ls])
 
 
+@pytest.mark.slow
 def test_transcribe_seek_conditioned(rng):
     """condition_on_previous_text plumbs accepted text back in as sot_prev
     prompts without breaking termination or segment bookkeeping."""

@@ -103,6 +103,7 @@ def test_decoder_prefill_parity(torch_model, params, rng):
     np.testing.assert_allclose(got, ref_logits, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_incremental_matches_prefill(params, rng):
     """KV-cached single-token steps must equal one multi-token prefill."""
     mel = rng.standard_normal((1, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
@@ -123,6 +124,7 @@ def test_incremental_matches_prefill(params, rng):
     np.testing.assert_allclose(step_logits, np.asarray(full_logits), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches(params, rng):
     """Prefill in two chunks at the right offsets == one-shot prefill."""
     mel = rng.standard_normal((1, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)

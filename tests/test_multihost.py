@@ -48,6 +48,7 @@ WORKER = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     if os.environ.get("WHISPER_TPU_SKIP_MULTIHOST"):
         pytest.skip("multihost test disabled")

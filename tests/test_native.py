@@ -70,6 +70,7 @@ def test_native_wav_pcm16_stereo(native_lib, rng):
     np.testing.assert_allclose(native, (L + R) / 2, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_native_resample_parity(native_lib):
     """Native windowed-sinc resampler matches the numpy one on a tone."""
     from whisper_tpu.ops.audio import resample

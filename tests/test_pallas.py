@@ -252,6 +252,7 @@ def test_flash_attention_btd_sharded_matches_reference(rng):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encoder_forward_btd_sharded_matches_unsharded(rng):
     """encoder_forward with the active mesh set dispatches the BTD kernel
     through shard_map and must match the plain XLA path."""

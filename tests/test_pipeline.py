@@ -56,6 +56,7 @@ def test_greedy_decode_shapes_and_stop(nano_params, rng):
             assert (toks[b, lens[b] :] == NANO.eot).all()
 
 
+@pytest.mark.slow
 def test_greedy_decode_deterministic(nano_params, rng):
     mel = _mel(rng)
     prompt = np.asarray([NANO.sot_sequence("en", "transcribe")], np.int32)
@@ -113,6 +114,7 @@ def test_demo_wav_through_nano(demo_wav_path, nano_params):
     assert np.asarray(res.tokens).shape == (1, NANO.n_text_ctx)
 
 
+@pytest.mark.slow
 def test_temperature_sampling_varies(nano_params, rng):
     """temperature>0 samples stochastically (different seeds differ),
     temperature=0 stays deterministic; avg_logprob populated."""
@@ -131,6 +133,7 @@ def test_temperature_sampling_varies(nano_params, rng):
     assert not np.array_equal(np.asarray(t1.tokens), np.asarray(t2.tokens))
 
 
+@pytest.mark.slow
 def test_avg_logprob_matches_teacher_forced(nano_params, rng):
     """Greedy avg_logprob equals mean of per-token logprobs (no filters)."""
     import jax

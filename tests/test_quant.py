@@ -70,6 +70,7 @@ def test_quantized_encoder_close(rng):
     assert np.median(np.abs(got - ref) / denom) < 0.06
 
 
+@pytest.mark.slow
 def test_quantized_decode_runs_and_mostly_agrees(rng):
     p = init_params(NANO)
     qp = quantize_params(p)
@@ -124,6 +125,7 @@ def test_save_load_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_int8_cross_kv_close_to_fp(rng):
     """Quantized cross-KV decode stays numerically close + runs end-to-end."""
     import jax.numpy as jnp
@@ -153,6 +155,7 @@ def test_int8_cross_kv_close_to_fp(rng):
     assert np.asarray(res.tokens).shape == (2, NANO.n_text_ctx)
 
 
+@pytest.mark.slow
 def test_int8_self_kv_close_to_fp(rng):
     """Packed per-position int8 self-KV: attention parity + e2e greedy path."""
     from whisper_tpu.models.model import (
@@ -184,6 +187,7 @@ def test_int8_self_kv_close_to_fp(rng):
             == np.asarray(ref_res.tokens)[:, prompt.shape[1]]).all()
 
 
+@pytest.mark.slow
 def test_int8_self_and_cross_kv_combined(rng):
     p = init_params(NANO)
     mel = jnp.asarray(rng.standard_normal((2, 80, 128)).astype(np.float32))
@@ -193,6 +197,7 @@ def test_int8_self_and_cross_kv_combined(rng):
     assert np.asarray(res.lengths).min() >= prompt.shape[1]
 
 
+@pytest.mark.slow
 def test_int8_logits_emb(rng):
     """quantize_logits_emb adds an int8 logits copy; decode runs and the
     logits stay close to the fp path (per-row int8 rounding only)."""

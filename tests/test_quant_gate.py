@@ -40,6 +40,7 @@ def setup(rng):
     return params, mel
 
 
+@pytest.mark.slow
 def test_fp32_control_measures_zero(setup):
     """The no-quantization control must show ~zero divergence — the harness
     itself adds no error."""
@@ -53,7 +54,8 @@ def test_fp32_control_measures_zero(setup):
 
 @pytest.mark.parametrize("variant",
                          ["int8_weights", "int8_cross_kv", "int8_self_kv",
-                          "int8_all", "w8a8"])
+                          "int8_all",
+                          pytest.param("w8a8", marks=pytest.mark.slow)])
 def test_quant_variants_produce_finite_metrics(setup, variant):
     params, mel = setup
     r = run_gate(params, NANO, mel, variant, max_tokens=8)
@@ -65,6 +67,7 @@ def test_quant_variants_produce_finite_metrics(setup, variant):
     assert r.kl_mean < 1.0, f"{variant}: kl={r.kl_mean}"
 
 
+@pytest.mark.slow
 def test_gelu_tanh_variant_small_divergence(setup, monkeypatch):
     """The tanh-GELU approximation (flagship bench config) must register as a
     small, finite divergence — and must restore the erf default afterwards."""
@@ -91,6 +94,7 @@ def test_gate_thresholds():
     assert not gate({"a": good, "c": bad_top1})
 
 
+@pytest.mark.slow
 def test_cli_smoke(capsys):
     """CLI entry produces the one-line JSON verdict."""
     import json

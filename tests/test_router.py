@@ -8,6 +8,7 @@ the core of the multi-host scaling story (parallel/distributed.py).
 
 import json
 import os
+import signal
 import socket
 import struct
 import subprocess
@@ -116,6 +117,7 @@ def _post_pcm(port: int, rng, seconds=0.5, timeout=60):
         return r.status, json.loads(r.read().decode())
 
 
+@pytest.mark.slow
 def test_router_fans_out(two_replicas, rng):
     router_srv, _, _, _ = two_replicas
     port = router_srv.server_address[1]
@@ -199,6 +201,7 @@ def test_router_splits_longform_across_backends(two_replicas, rng):
     assert sum(e.stats.snapshot()["requests_total"] for e in engines) == 3
 
 
+@pytest.mark.slow
 def test_router_split_disabled_keeps_affinity(two_replicas, rng):
     """With split_longform off the router relays the long request untouched
     to ONE backend, which then windows it itself (engine-level long audio)."""
@@ -252,7 +255,7 @@ def test_dp2_subprocess_integration(rng, tmp_path):
          "--model_type", "test-nano", "--port", str(port),
          "--dtype", "float32", "--slots", "2", "--max_tokens", "6",
          "--steps_per_sync", "2"],
-        env=env, cwd="/root/repo",
+        env=env, cwd="/root/repo", start_new_session=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     try:
         deadline = time.monotonic() + 240
@@ -282,13 +285,21 @@ def test_dp2_subprocess_integration(rng, tmp_path):
         assert sum(per) == 4
         assert all(n >= 1 for n in per), f"no cross-process fan-out: {per}"
     finally:
+        # SIGTERM the orchestrator (its handler tears down the workers),
+        # then sweep the exact process group we created — without the group
+        # kill a wedged orchestrator leaks one worker process per replica
         proc.terminate()
         try:
             proc.wait(timeout=15)
         except subprocess.TimeoutExpired:
             proc.kill()
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass  # group already gone
 
 
+@pytest.mark.slow
 def test_router_split_merges_word_timestamps(rng):
     """Router-split windows carry word_timestamps through and the merged
     response has absolute, sorted word times."""

@@ -379,6 +379,7 @@ def test_engine_timestamps_mode(nano_params, rng):
         eng.stop()
 
 
+@pytest.mark.slow
 def test_engine_tensor_parallel_matches_single(nano_params, rng):
     """TP-placed engine (weights + KV sharded over the model axis) must
     produce the same tokens as the unsharded engine."""
@@ -673,6 +674,7 @@ def test_engine_beam_matches_offline(engine, nano_params, rng):
     assert res["avg_logprob"] == pytest.approx(float(ref.avg_logprob[0]), abs=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_mixed_greedy_beam_traffic(engine, rng):
     """Greedy slots and the beam worker serve concurrently; neither path
     blocks the other and each result is labeled."""

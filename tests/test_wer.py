@@ -3,6 +3,8 @@ test_wer.py:209-246)."""
 
 import os
 
+import pytest
+
 from whisper_tpu.eval.wer import AIShellDataset, WerResult, edit_distance, score_pairs
 
 
@@ -51,6 +53,7 @@ def test_word_level_wer():
     assert res.per_utt[1][3] == 0.0
 
 
+@pytest.mark.slow
 def test_eval_main_end_to_end(tmp_path, rng):
     """Drive ``python -m whisper_tpu.eval`` over a synthetic AIShell-format
     dataset to a wer.txt — the reference's only correctness gate is this

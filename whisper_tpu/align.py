@@ -112,6 +112,142 @@ def alignment_cross_attn(
     return attn, token_logprobs
 
 
+def _median7_time(arrs: List[jnp.ndarray]) -> jnp.ndarray:
+    """Median of 7 same-shaped arrays via a minmax sorting network.
+
+    Element-wise min/max over a Python list lets XLA fuse the whole median
+    into one kernel over 7 gathered taps — nothing materializes at 7x the
+    map size (the jnp.median(stack) route would)."""
+    a = list(arrs)
+    assert len(a) == 7
+
+    def mm(i, j):
+        lo = jnp.minimum(a[i], a[j])
+        hi = jnp.maximum(a[i], a[j])
+        a[i], a[j] = lo, hi
+
+    # optimal 16-comparator sorting network for n=7; after it a[3] is the
+    # median (verified against np.median in tests/test_align.py)
+    for i, j in ((1, 2), (3, 4), (5, 6), (0, 2), (3, 5), (4, 6), (0, 1),
+                 (4, 5), (2, 6), (0, 4), (1, 5), (0, 3), (2, 5), (1, 3),
+                 (2, 4), (2, 3)):
+        mm(i, j)
+    return a[3]
+
+
+def _reflect_taps(frame_len: jnp.ndarray, Ta: int, width: int) -> jnp.ndarray:
+    """(B, Ta, width) int32 gather indices for a reflect-padded sliding
+    window along time whose boundary sits at the DYNAMIC per-utterance
+    audio end (frame_len), matching the host path's crop-then-filter."""
+    half = width // 2
+    t = jnp.arange(Ta)[None, :, None]                       # (1, Ta, 1)
+    k = jnp.arange(width)[None, None, :] - half             # (1, 1, w)
+    n = jnp.maximum(frame_len, 1)[:, None, None]            # (B, 1, 1)
+    j = jnp.abs(t + k)                                      # reflect at 0
+    j = jnp.minimum(j, 2 * (n - 1))                         # clamp tiny n
+    j = (n - 1) - jnp.abs((n - 1) - j)                      # reflect at n-1
+    return jnp.clip(j, 0, Ta - 1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "medfilt_width"))
+def alignment_matrix(
+    params,
+    tokens: jnp.ndarray,       # (B, S) int32 — teacher-forced sequences
+    cross_kv,                  # fp 2-tuple (L, B, H, Ta, dh)
+    head_mask: jnp.ndarray,    # (L, H) f32 — 1.0 = alignment head
+    row_mask: jnp.ndarray,     # (B, S) bool — text rows (prompt/pad out)
+    frame_len: jnp.ndarray,    # (B,) int32 — valid audio frames
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+    medfilt_width: int = 7,
+):
+    """Teacher-forced pass returning the DEVICE-REDUCED alignment matrix.
+
+    The round-3 path returned the full (L, B, H, S, Ta) fp32 attention
+    stack to the host (~215 MB per aligned turbo request over the device
+    tunnel; 10+ GB residency at the pipeline's sub-batch, ADVICE r3). All
+    of find_alignment's map post-processing is per-head elementwise or a
+    token-axis reduction, so it runs here instead: per-(head, frame)
+    standardization over the masked text rows, median filter along time
+    (reflect boundary at each utterance's audio end), then the
+    alignment-head mean — transferring only (B, S, Ta) fp32 (~2.7 MB at
+    turbo S=448) plus per-token logprobs.
+
+    Under tensor parallelism the heads axis of cross_kv/params is sharded;
+    every per-head op partitions cleanly and the head-mean is the single
+    cross-shard reduction, inserted by XLA.
+    """
+    dec = params["decoder"]
+    dt = compute_dtype
+    B, S = tokens.shape
+    n_head = cfg.n_text_head
+    dh = cfg.head_dim_text
+    Ta = cross_kv[0].shape[3]
+
+    x = (jnp.take(dec["tok_emb"], tokens, axis=0).astype(dt)
+         + dec["pos_emb"][:S][None].astype(dt))
+    causal = jnp.tril(jnp.ones((S, S), bool))[None, None]
+    rows = row_mask[:, None, :, None]                        # (B,1,S,1)
+    n_rows = jnp.maximum(jnp.sum(rows, axis=2, keepdims=True), 1.0)
+    taps = _reflect_taps(frame_len, Ta, medfilt_width)[:, None]  # (B,1,Ta,w)
+
+    def block(carry, inp):
+        x, acc = carry
+        p, ck, cv, hmask = inp  # ck/cv: (B, H, Ta, dh); hmask: (H,)
+        h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
+        q = _split_heads(_linear(h, p["attn"]["wq"], p["attn"]["bq"], dt), n_head)
+        k = _split_heads(_linear(h, p["attn"]["wk"], None, dt), n_head)
+        v = _split_heads(_linear(h, p["attn"]["wv"], p["attn"]["bv"], dt), n_head)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * (dh ** -0.5)
+        s = jnp.where(causal, s, jnp.float32(-1e30))
+        o = jnp.einsum("bhqk,bhkd->bhqd",
+                       jax.nn.softmax(s, axis=-1).astype(dt), v)
+        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+
+        h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
+        qh = _split_heads(_linear(h, p["cross"]["wq"], p["cross"]["bq"], dt),
+                          n_head)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", qh, ck.astype(dt),
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+        w = jax.nn.softmax(sc, axis=-1)  # (B, H, S, Ta) fp32
+        o = jnp.einsum("bhqk,bhkd->bhqd", w.astype(dt), cv.astype(dt))
+        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
+
+        # --- on-device find_alignment post-processing for this layer ---
+        wm = jnp.where(rows, w, 0.0)
+        mean = jnp.sum(wm, axis=2, keepdims=True) / n_rows
+        var = jnp.sum(jnp.where(rows, (w - mean) ** 2, 0.0),
+                      axis=2, keepdims=True) / n_rows
+        z = (w - mean) / (jnp.sqrt(var) + 1e-9)
+        filt = _median7_time(
+            [jnp.take_along_axis(z, taps[..., i][:, :, None, :], axis=3)
+             for i in range(medfilt_width)])
+        acc = acc + jnp.einsum("bhst,h->bst", filt, hmask)
+
+        h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
+        x = x + _linear(_gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt)),
+                        p["mlp"]["w2"], p["mlp"]["b2"], dt)
+        return (x, acc), None
+
+    acc0 = jnp.zeros((B, S, Ta), jnp.float32)
+    (x, acc), _ = jax.lax.scan(
+        block, (x, acc0),
+        ((dec["blocks"],) + tuple(cross_kv)
+         + (head_mask.astype(jnp.float32),)))
+    matrix = acc / jnp.maximum(head_mask.sum(), 1.0)
+
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    from .models.model import _logits
+
+    logits = _logits(x, dec, dt)  # (B, S, n_vocab) fp32
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    token_logprobs = jnp.take_along_axis(
+        logp, tokens[:, 1:, None], axis=-1)[..., 0]  # (B, S-1)
+    return matrix, token_logprobs
+
+
 def dequantize_cross_kv(cross_kv):
     """int8 4-tuple (quantize_cross_kv layout) -> fp 2-tuple (L,B,H,Ta,dh)."""
     if len(cross_kv) == 2:
@@ -256,11 +392,39 @@ def words_from_attention(
     std = sel.std(axis=-2, keepdims=True) + 1e-9
     sel = median_filter((sel - mean) / std, medfilt_width)
     matrix = sel.mean(axis=0)  # (St, F)
-    text_idx, time_idx = dtw_path(-matrix.astype(np.float64))
+    return words_from_matrix(matrix, text_tokens, tokenizer,
+                             token_logprobs=token_logprobs,
+                             prompt_len=prompt_len, time_offset=time_offset)
+
+
+def words_from_matrix(
+    matrix: np.ndarray,  # (St, F) standardized/filtered/head-mean maps
+    text_tokens: Sequence[int],  # text rows incl. the trailing eot sentinel
+    tokenizer,
+    token_logprobs: Optional[np.ndarray] = None,  # (S-1,) full-seq shifted
+    prompt_len: int = 0,  # only used to index token_logprobs
+    time_offset: float = 0.0,
+) -> List[dict]:
+    """DTW + word grouping over a precomputed alignment matrix.
+
+    Host half of the split design: :func:`alignment_matrix` produces the
+    reduced (S, Ta) matrix on device; this function runs the O(S*T) DTW and
+    script-aware word grouping on the cropped rows/frames.
+
+    The trailing eot row is EXCLUDED from the DTW (OpenAI's find_alignment
+    crops ``matrix[len(sot_sequence):-1]``): the eot row's diffuse attention
+    otherwise drags the last word's end time late. The path's end still
+    bounds the final word (sentinel in _word_boundaries).
+    """
+    text_tokens = [int(t) for t in text_tokens]
+    if matrix.shape[0] == 0 or matrix.shape[1] == 0:
+        return []
+    n_dtw = max(matrix.shape[0] - 1, 1)  # drop the eot row
+    text_idx, time_idx = dtw_path(-matrix[:n_dtw].astype(np.float64))
 
     words, word_tokens = tokenizer.split_to_word_tokens(text_tokens)
     bounds = _word_boundaries(words, word_tokens, text_idx, time_idx,
-                              n_rows=matrix.shape[0])
+                              n_rows=n_dtw)
     out = []
     row = 0
     for word, toks, (f0, f1) in zip(words, word_tokens, bounds):

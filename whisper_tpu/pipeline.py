@@ -311,21 +311,26 @@ class WhisperPipeline:
     def _align_words(self, cross_kv, toks, lens, prompt_len, sample_lens,
                      langs, silent):
         """Per-chunk word timings via one teacher-forced alignment pass
-        (align.py). Runs in sub-batches of 8 chunks to bound the attention
-        map residency ((L, B, H, S, Ta) fp32 on device)."""
+        (align.alignment_matrix). The head selection, per-column
+        standardization, median filter and head-mean all run ON DEVICE, so
+        only the reduced (b, S, Ta) matrix crosses to the host — not the
+        full (L, b, H, S, Ta) fp32 attention stack (10+ GB at turbo
+        sub-batch 8, ADVICE r3). Sub-batches of 8 bound the per-layer
+        transient inside the pass."""
         import dataclasses as _dc
         import math
 
         from .align import (
-            alignment_cross_attn,
             alignment_head_mask,
+            alignment_matrix,
             dequantize_cross_kv,
             merge_punctuations,
-            words_from_attention,
+            words_from_matrix,
         )
 
         fp_kv = dequantize_cross_kv(cross_kv)
-        head_mask = alignment_head_mask(self.cfg, self.alignment_heads)
+        head_mask = jnp.asarray(
+            alignment_head_mask(self.cfg, self.alignment_heads), jnp.float32)
         n = len(toks)
         words: List[list] = [[] for _ in range(n)]
         for lo in range(0, n, 8):
@@ -333,26 +338,31 @@ class WhisperPipeline:
             smax = int(max(lens[lo:hi])) + 1
             S = min(max(32, 32 * math.ceil(smax / 32)), self.cfg.n_text_ctx)
             seqs = np.full((hi - lo, S), self.cfg.eot, np.int32)
+            row_mask = np.zeros((hi - lo, S), bool)
+            frame_len = np.zeros((hi - lo,), np.int32)
             for i in range(lo, hi):
                 L = min(int(lens[i]) + 1, S)
                 seqs[i - lo, :L] = toks[i, :L]
-            attn, tlp = alignment_cross_attn(
+                row_mask[i - lo, prompt_len:L] = True
+                frame_len[i - lo] = min(int(np.ceil(sample_lens[i] / 320)),
+                                        self.cfg.n_audio_ctx)
+            matrix, tlp = alignment_matrix(
                 self.params, jnp.asarray(seqs),
-                tuple(a[:, lo:hi] for a in fp_kv), self.cfg,
-                self.compute_dtype)
-            attn = np.asarray(attn, np.float32)  # (L, b, H, S, Ta)
+                tuple(a[:, lo:hi] for a in fp_kv), head_mask,
+                jnp.asarray(row_mask), jnp.asarray(frame_len),
+                self.cfg, self.compute_dtype)
+            matrix = np.asarray(matrix, np.float32)  # (b, S, Ta)
             tlp = np.asarray(tlp, np.float32)
             for i in range(lo, hi):
                 if silent[i]:
                     continue  # gated to "" — no words
-                frames = min(int(np.ceil(sample_lens[i] / 320)),
-                             self.cfg.n_audio_ctx)
+                frames = int(frame_len[i - lo])
                 L = min(int(lens[i]) + 1, S)
                 tok = _dc.replace(self.tokenizer, language=langs[i])
-                ws = words_from_attention(
-                    attn[:, i - lo, :, :L], seqs[i - lo, :L], prompt_len,
-                    tok, self.cfg, frames,
-                    token_logprobs=tlp[i - lo], head_mask=head_mask)
+                ws = words_from_matrix(
+                    matrix[i - lo, prompt_len:L, :frames],
+                    seqs[i - lo, prompt_len:L], tok,
+                    token_logprobs=tlp[i - lo], prompt_len=prompt_len)
                 if langs[i] not in ("zh", "ja", "th", "lo", "my", "yue"):
                     ws = merge_punctuations(ws)
                 words[i] = ws

@@ -43,9 +43,19 @@ def _run_dp(args) -> int:
     decode loop stays free of cross-replica traffic (BASELINE.md scaling
     target; design note at parallel/distributed.py)."""
     import os
+    import signal
     import subprocess
 
     from .router import make_router
+
+    # SIGTERM must tear the worker fleet down with us: without a handler the
+    # default action kills this orchestrator instantly and the `finally`
+    # below never runs, leaking one serving subprocess per replica (found
+    # via leaked test workers, round 4)
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
 
     ports = [args.port + 1 + i for i in range(args.dp)]
     workers = []

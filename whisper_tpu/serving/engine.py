@@ -340,6 +340,7 @@ class ContinuousBatchingEngine:
         # passes serialized so they interleave with decode dispatch instead
         # of competing with it)
         self._align_pool = None
+        self._align_mask = None  # lazy (L, H) alignment-head mask on device
 
     # ------------------------------------------------------------- helpers
     def _head_sharding(self, ndim: int):
@@ -1102,10 +1103,11 @@ class ContinuousBatchingEngine:
             import math
 
             from ..align import (
-                alignment_cross_attn,
+                alignment_head_mask,
+                alignment_matrix,
                 dequantize_cross_kv,
                 merge_punctuations,
-                words_from_attention,
+                words_from_matrix,
             )
 
             fp = dequantize_cross_kv(cross_slice)
@@ -1114,17 +1116,28 @@ class ContinuousBatchingEngine:
             toks = np.full((1, S), self.cfg.eot, np.int32)
             L = min(len(seq), S)
             toks[0, :L] = seq[:L]
-            attn, tlp = alignment_cross_attn(
-                self.params, jnp.asarray(toks), fp, self.cfg, self.dt)
-            attn = np.asarray(attn, np.float32)
             frames = min(int(np.ceil(audio_samples / 320)),
                          self.cfg.n_audio_ctx)
+            if self._align_mask is None:
+                self._align_mask = jnp.asarray(
+                    alignment_head_mask(self.cfg), jnp.float32)
+            row_mask = jnp.asarray(
+                (np.arange(S) >= prompt_len) & (np.arange(S) < L))[None]
+            # device-reduced pass: only the (1, S, Ta) head-mean matrix and
+            # the per-token logprobs cross the tunnel (~2.7 MB at turbo),
+            # not the full (L, 1, H, S, Ta) attention stack (~215 MB, r3)
+            matrix, tlp = alignment_matrix(
+                self.params, jnp.asarray(toks), fp, self._align_mask,
+                row_mask, jnp.asarray([frames], jnp.int32),
+                self.cfg, self.dt)
+            matrix = np.asarray(matrix[0], np.float32)
             tok = (dataclasses.replace(self.tokenizer, language=lang)
                    if dataclasses.is_dataclass(self.tokenizer)
                    else self.tokenizer)
-            ws = words_from_attention(
-                attn[:, 0, :, :L], toks[0, :L], prompt_len, tok, self.cfg,
-                frames, token_logprobs=np.asarray(tlp[0], np.float32))
+            ws = words_from_matrix(
+                matrix[prompt_len:L, :frames], toks[0, prompt_len:L],
+                tok, token_logprobs=np.asarray(tlp[0], np.float32),
+                prompt_len=prompt_len)
             if lang not in ("zh", "ja", "th", "lo", "my", "yue"):
                 ws = merge_punctuations(ws)
             result["words"] = ws
