@@ -47,6 +47,87 @@ def test_merge_texts_zh_dedup():
     assert merge_texts(["abc", "def"], "en", trim_overlap=False) == "abc def"
 
 
+def test_merge_texts_fuzzy_near_duplicate():
+    """Real decodes of overlapping audio are rarely byte-identical: the
+    junction must still dedup when the re-hearing differs slightly
+    (VERDICT r3 #5)."""
+    a = "the market almost stopped trading entirely"
+    b = "allmost stoped trading entirely and then recovered later on"
+    merged = merge_texts([a, b], "en")
+    assert merged.count("trading entirely") == 1
+    assert merged.endswith("recovered later on")
+    assert merged.startswith("the market almost stopped")
+    # zh: fuzzy junction with one differing character
+    m = merge_texts(["甚至出现交易几乎停止", "幾乎停止的情况"], "zh")
+    assert m.count("停止") == 1
+    # no false trim when the head is genuinely new text
+    m2 = merge_texts(["hello world", "completely different clause"], "en")
+    assert m2 == "hello world completely different clause"
+
+
+def _w(word, start, end):
+    return {"word": word, "start": start, "end": end}
+
+
+def test_merge_window_words_midpoint_cut_and_straddle():
+    from whisper_tpu.longform import merge_window_words
+
+    step, ov = 28.0, 2.0  # windows [0,30), [28,58); cut at 29.0
+    w0 = [_w(" a", 1.0, 2.0), _w(" cut", 0.9 + 28, 1.4 + 28)]
+    # window 1 re-hears "cut" with slightly different local times
+    w1 = [_w(" cut", 1.05, 1.5), _w(" tail", 4.0, 5.0)]
+    out = merge_window_words([w0, w1], step, ov)
+    assert [w["word"].strip() for w in out] == ["a", "cut", "tail"]
+    starts = [w["start"] for w in out]
+    assert starts == sorted(starts)
+    # absolute times: window-1 words shifted by step
+    assert out[-1]["start"] == 32.0
+
+
+def test_merge_window_words_straddler_single_emission():
+    from whisper_tpu.longform import merge_window_words
+
+    step, ov = 28.0, 2.0  # cut at 29.0
+    # word straddles the cut; each window hears a consistent absolute start
+    # but lands on opposite sides of the cut (28.9 vs 29.1 abs)
+    w0 = [_w(" strad", 28.9, 29.6)]
+    w1 = [_w(" strad", 1.1, 1.8)]  # abs 29.1
+    out = merge_window_words([w0, w1], step, ov)
+    assert len(out) == 1, out  # dedup by text + start proximity
+
+
+def test_merge_window_words_silent_window_fallback():
+    from whisper_tpu.longform import merge_window_words
+
+    step, ov = 28.0, 2.0
+    # window 0 silence-gated: its overlap words must come from window 1
+    w0 = []
+    w1 = [_w(" early", 0.2, 0.8), _w(" late", 3.0, 4.0)]
+    out = merge_window_words([w0, w1], step, ov)
+    assert [w["word"].strip() for w in out] == ["early", "late"]
+    assert out[0]["start"] == 28.2
+
+
+def test_merge_transcripts_words_and_text_agree():
+    from whisper_tpu.longform import merge_transcripts
+
+    step, ov = 28.0, 2.0
+    results = [
+        {"text": "hello there", "words": [_w(" hello", 1.0, 1.5),
+                                          _w(" there", 2.0, 2.5)]},
+        {"text": "again", "words": [_w(" again", 3.0, 3.6)]},
+    ]
+    m = merge_transcripts(results, step, ov, "en")
+    assert m["text"] == "hello there again"
+    assert "".join(w["word"] for w in m["words"]).strip() == m["text"]
+    # without words on every window: text fallback, no words key
+    m2 = merge_transcripts([{"text": "hello there"},
+                            {"text": "there again", "words": []}], step, ov,
+                           "en")
+    assert m2["text"] == "hello there again"
+    assert "words" not in m2
+
+
 def test_pipeline_longform_batches(monkeypatch, rng):
     """transcribe_batch flattens chunks and re-merges per utterance."""
     from whisper_tpu import pipeline as P

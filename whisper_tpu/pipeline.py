@@ -275,25 +275,27 @@ class WhisperPipeline:
         overlap_s = self.longform_overlap / 16000.0
         out = []
         pos = 0
+        from .longform import merge_window_words, text_from_words
+
         for u, nc in enumerate(n_chunks):
             chunk_texts = texts[pos : pos + nc]
             lang = langs[pos]  # utterance language = first chunk's
-            merged = (merge_texts(chunk_texts, lang) if nc > 1 else chunk_texts[0])
             utt_tokens = np.concatenate(
                 [toks[pos + j, prompts.shape[1] : lens[pos + j]] for j in range(nc)])
             words = None
             if chunk_words is not None:
-                words = []
-                for j in range(nc):
-                    t0_win = j * window_step_s
-                    for w in chunk_words[pos + j]:
-                        rec = dict(w, start=round(w["start"] + t0_win, 3),
-                                   end=round(w["end"] + t0_win, 3))
-                        # overlap dedup: window j>0 re-hears the previous
-                        # window's tail; drop words fully inside the overlap
-                        if j > 0 and rec["end"] <= t0_win + overlap_s:
-                            continue
-                        words.append(rec)
+                # word-level overlap reconciliation: midpoint cut on start
+                # times with silence fallback (longform.merge_window_words)
+                words = merge_window_words(chunk_words[pos : pos + nc],
+                                           window_step_s, overlap_s)
+            if words is not None and nc > 1:
+                # derive the text from the merged words so text and words
+                # cannot disagree at window boundaries (ADVICE r3)
+                merged = text_from_words(words, lang)
+            elif nc > 1:
+                merged = merge_texts(chunk_texts, lang)
+            else:
+                merged = chunk_texts[0]
             out.append(
                 TranscribeResult(
                     text=postprocess(merged, lang),

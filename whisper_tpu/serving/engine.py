@@ -445,23 +445,18 @@ class ContinuousBatchingEngine:
             if not done:
                 return
             lang = effective_lang()
-            text = merge_texts([r["text"] for r in results], lang)
+            # word-level overlap reconciliation when timings exist; fuzzy
+            # text-overlap trim otherwise (longform.merge_transcripts)
+            step = (N_SAMPLES - self.longform_overlap) / 16000.0
+            ov = self.longform_overlap / 16000.0
+            from ..longform import merge_transcripts
+
+            merged = merge_transcripts(results, step, ov, lang)
+            text = merged["text"]
+            words = merged.get("words") if req.word_timestamps else None
             wall = time.perf_counter() - req.enqueued_at
             audio_s = len(req.audio) / 16000.0
             lps = [r["avg_logprob"] for r in results]
-            words = None
-            if req.word_timestamps:
-                # window-local times -> absolute; drop overlap re-hearings
-                step = (N_SAMPLES - self.longform_overlap) / 16000.0
-                ov = self.longform_overlap / 16000.0
-                words = []
-                for j, r in enumerate(results):
-                    for w in (r.get("words") or []):
-                        rec = dict(w, start=round(w["start"] + j * step, 3),
-                                   end=round(w["end"] + j * step, 3))
-                        if j > 0 and rec["end"] <= j * step + ov:
-                            continue
-                        words.append(rec)
             if not req.future.done():
                 payload = {
                     "success": True,

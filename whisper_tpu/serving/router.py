@@ -300,22 +300,24 @@ class RouterHandler(BaseHTTPRequestHandler):
         if audio.size <= N_SAMPLES:
             return False
 
-        from ..longform import merge_texts, split_audio
+        from ..longform import merge_transcripts, split_audio
 
         router = self.router
         overlap = int(router.longform_overlap_s * SAMPLE_RATE)
         waves, _ = split_audio(audio, N_SAMPLES, overlap)
-        hdrs = {"Content-Type": "application/octet-stream",
-                "X-Language": str(params["language"]),
-                "X-Task": str(params["task"]),
-                "X-Beam": str(params["beam"]),
-                "X-Temperature": str(params["temperature"]),
-                "X-Word-Timestamps": str(params["word_timestamps"])}
         t0 = time.perf_counter()
 
-        def one(w: np.ndarray) -> dict:
+        def hdrs_for(language) -> dict:
+            return {"Content-Type": "application/octet-stream",
+                    "X-Language": str(language),
+                    "X-Task": str(params["task"]),
+                    "X-Beam": str(params["beam"]),
+                    "X-Temperature": str(params["temperature"]),
+                    "X-Word-Timestamps": str(params["word_timestamps"])}
+
+        def one(w: np.ndarray, language) -> dict:
             b, resp, conn = router.forward("POST", "/asr", w.tobytes(),
-                                           dict(hdrs))
+                                           hdrs_for(language))
             try:
                 payload = json.loads(resp.read().decode() or "{}")
             finally:
@@ -325,19 +327,31 @@ class RouterHandler(BaseHTTPRequestHandler):
                                        or f"backend HTTP {resp.status}"))
             return payload
 
-        with ThreadPoolExecutor(max_workers=min(len(waves), 16)) as ex:
-            results = list(ex.map(one, waves))
-        router.split_requests_total += 1
-
         lang = params["language"]
         if lang in (None, "", "auto"):
-            lang = next((r.get("language") for r in results
-                         if r.get("language") not in (None, "", "auto")), "en")
+            # resolve auto-detection on the FIRST window and forward the
+            # code to the rest — independent per-window detection can decode
+            # one utterance's windows in different languages (ADVICE r3)
+            first = one(waves[0], "auto")
+            lang = first.get("language") or "en"
+            if lang in ("", "auto"):
+                lang = "en"
+            with ThreadPoolExecutor(max_workers=min(len(waves), 16)) as ex:
+                rest = list(ex.map(lambda w: one(w, lang), waves[1:]))
+            results = [first] + rest
+        else:
+            with ThreadPoolExecutor(max_workers=min(len(waves), 16)) as ex:
+                results = list(ex.map(lambda w: one(w, lang), waves))
+        with router._lock:  # handler threads are concurrent (ADVICE r3)
+            router.split_requests_total += 1
+
+        step = (N_SAMPLES - overlap) / SAMPLE_RATE
+        merged = merge_transcripts(results, step, overlap / SAMPLE_RATE, lang)
         wall = time.perf_counter() - t0
         audio_s = audio.size / SAMPLE_RATE
         out = {
             "success": True,
-            "text": merge_texts([r.get("text", "") for r in results], lang),
+            "text": merged["text"],
             "language": lang,
             "audio_seconds": audio_s,
             "wall_seconds": wall,
@@ -360,19 +374,7 @@ class RouterHandler(BaseHTTPRequestHandler):
             out["quality_ok"] = all(r["quality_ok"] for r in results)
         if str(params["word_timestamps"]).lower() in ("1", "true", "yes",
                                                       "on"):
-            # window-local word times -> absolute; drop overlap re-hearings
-            # (same merge the engine applies to ITS windows)
-            step = (N_SAMPLES - overlap) / SAMPLE_RATE
-            ov = overlap / SAMPLE_RATE
-            words = []
-            for j, r in enumerate(results):
-                for w in (r.get("words") or []):
-                    rec = dict(w, start=round(w["start"] + j * step, 3),
-                               end=round(w["end"] + j * step, 3))
-                    if j > 0 and rec["end"] <= j * step + ov:
-                        continue
-                    words.append(rec)
-            out["words"] = words
+            out["words"] = merged.get("words", [])
         self._send(200, out)
         return True
 
@@ -383,7 +385,17 @@ class RouterHandler(BaseHTTPRequestHandler):
         qs = {k: v[-1] for k, v in parse_qs(query).items()}
         streaming = (self.headers.get("X-Stream") == "1"
                      or qs.get("stream") == "1")
+        # cheap pre-gate: a body too small to hold >30 s of audio cannot
+        # need a split — skip the full multipart/WAV parse+decode the old
+        # path paid on EVERY short request (ADVICE r3). 16 kHz mono int16
+        # is the densest format load_audio accepts at 2 B/sample; denser-
+        # than-real encodings (e.g. low-rate WAVs) just fall back to the
+        # single-backend relay, where the engine still windows internally.
+        from ..config import N_SAMPLES as _NS
+
+        may_be_long = len(body) > 2 * _NS
         if (route in ("/asr", "/transcribe") and not streaming
+                and may_be_long
                 and self.router.split_longform
                 and len(self.router.backends) > 1):
             try:
