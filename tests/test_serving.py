@@ -564,30 +564,92 @@ def test_engine_quality_fields_and_silence_gate(nano_params, rng):
 
 
 def test_engine_admission_chunking(nano_params, rng):
-    """With active slots, _admit_new admits at most admit_chunk newcomers per
-    sync round (bounded head-of-line stall); an idle engine admits the full
-    free set in one bucketed batch."""
+    """With active slots, the encode worker prepares at most admit_chunk
+    newcomers per batch (bounding the device-level stall one admission
+    encode causes); an idle engine encodes the full pending set in one
+    bucketed batch."""
     eng = ContinuousBatchingEngine(
         nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
         steps_per_sync=1, max_tokens=6, apply_filters=False, admit_chunk=1)
-    # not started: drive the admission path by hand for determinism
+    # not started: drive the encode/admit path by hand for determinism
     batches = []
-    orig = eng._admit_batch
+    orig = eng._prepare_batch
 
     def spy(newcomers):
         batches.append(len(newcomers))
         return orig(newcomers)
 
-    eng._admit_batch = spy
-    # idle: 3 submissions admit as ONE batch
+    eng._prepare_batch = spy
+    # idle: 3 submissions prepare as ONE batch
     for _ in range(3):
         eng.submit(Request(audio=_audio(rng, 0.2), language="zh"))
+    eng._prepare_pending_once()
     eng._admit_new()
     assert batches == [3]
-    # active slots present: the 4th waits, then admits alone (chunk=1)
+    assert eng.stats.active_slots == 3
+    # active slots present: the 4th prepares alone (chunk=1)
     eng.submit(Request(audio=_audio(rng, 0.2), language="zh"))
+    eng._prepare_pending_once()
     eng._admit_new()
     assert batches == [3, 1]
+    assert eng.stats.active_slots == 4
+
+
+def test_decode_advances_during_newcomer_encode(nano_params, rng):
+    """Round-4 design goal: admission encode+prefill runs on the encode
+    worker thread, so ACTIVE slots keep stepping WHILE a newcomer encodes —
+    not just between admissions (VERDICT r3 #1)."""
+    import threading as _th
+    import time as _time
+
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=1, max_tokens=16, apply_filters=False)
+    in_encode = _th.Event()
+    release = _th.Event()
+    calls = []
+    orig = eng._prepare_batch
+
+    def slow(newcomers):
+        calls.append(len(newcomers))
+        if len(calls) > 1:  # the newcomer's batch: stall mid-encode
+            in_encode.set()
+            release.wait(timeout=10)
+        return orig(newcomers)
+
+    eng._prepare_batch = slow
+    eng.start()
+    try:
+        import jax as _jax
+
+        a = eng.submit(Request(audio=_audio(rng, 0.5), language="zh"))
+        # steady state first: wait for A to be admitted AND for the decode
+        # step program to be compiled + stepping (offset past prompt+2)
+        deadline = _time.monotonic() + 60
+        slot = None
+        while _time.monotonic() < deadline:
+            if slot is None and eng.stats.active_slots:
+                slot = next(i for i, r in enumerate(eng._slot_req)
+                            if r is not None)
+            if (slot is not None
+                    and int(_jax.device_get(eng.offsets)[slot]) >= 7):
+                break
+            _time.sleep(0.01)
+        assert slot is not None and not a.done()
+        b = eng.submit(Request(audio=_audio(rng, 0.5), language="zh"))
+        assert in_encode.wait(timeout=30), "newcomer encode never started"
+        off0 = int(_jax.device_get(eng.offsets)[slot])
+        _time.sleep(0.4)  # encode worker still stalled inside prepare
+        off1 = int(_jax.device_get(eng.offsets)[slot])
+        release.set()
+        # slot A stepped while B's encode was in flight (or had already
+        # finished its budget — require progress OR completion)
+        assert off1 > off0 or a.done(), (off0, off1)
+        assert a.result(timeout=60)["success"]
+        assert b.result(timeout=60)["success"]
+    finally:
+        release.set()
+        eng.stop()
 
 
 def test_engine_auto_language_immutable_request(nano_params, rng):

@@ -125,6 +125,11 @@ class EngineStats:
     step_seconds_total: float = 0.0
     harvest_seconds_total: float = 0.0
     ticks_total: int = 0          # sync rounds run (per-tick overhead = busy/ticks)
+    # encode-worker time (round 4: admission encode+prefill runs on its own
+    # thread, so this does NOT stall the decode loop; overlaps busy time)
+    encode_seconds_total: float = 0.0
+    encode_batches_total: int = 0
+    prepared_depth: int = 0       # requests encoded+prefilled awaiting a slot
 
     def snapshot(self) -> dict:
         d = dict(self.__dict__)
@@ -136,6 +141,24 @@ class EngineStats:
 
 class OverloadedError(RuntimeError):
     """Raised on submit when the request queue is at capacity (backpressure)."""
+
+
+@dataclass
+class _PreparedBatch:
+    """An admission batch the encode worker finished: bucketed mel->encoder->
+    prefill already dispatched, device arrays in hand. The decode thread
+    scatters rows into free slots (possibly across several ticks)."""
+
+    reqs: List[Request]            # row i of the device arrays <-> reqs[i]
+    kvk: object                    # prefilled self-KV (bucket rows)
+    kvv: object
+    cross: tuple                   # cross-KV parts (bucket rows)
+    first: object                  # (bucket,) first sampled token
+    first_lp: object               # (bucket,) its logprob
+    nsp: object                    # (bucket,) no-speech prob
+    prompts: object                # (bucket, P) device prompt rows
+    prompt_len: int
+    consumed: int = 0              # rows already scattered into slots
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -326,6 +349,20 @@ class ContinuousBatchingEngine:
         from collections import deque
 
         self._pending: "deque[Request]" = deque()
+        # encode worker output: prepared admissions (encode+prefill done on
+        # the cb-encode thread) awaiting a free slot. The decode thread only
+        # pays the cheap device scatter. Guarded by _ready_cv's lock; the
+        # prepared-ahead total is capped at max_slots to bound the cross-KV
+        # the ready queue pins in HBM.
+        self._ready: "deque[_PreparedBatch]" = deque()
+        self._ready_cv = threading.Condition()
+        self._prepared_reqs = 0
+        self._encode_thread: Optional[threading.Thread] = None
+        # one-deep harvest pipeline: the control/token state of the LAST
+        # dispatched step round, with device->host copies already in flight;
+        # resolved at the START of the next tick so the transfer overlaps
+        # the device's execution of the current round
+        self._inflight_harvest = None
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -527,6 +564,9 @@ class ContinuousBatchingEngine:
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True, name="cb-engine")
         self._thread.start()
+        self._encode_thread = threading.Thread(
+            target=self._prepare_run, daemon=True, name="cb-encode")
+        self._encode_thread.start()
         self._beam_thread = threading.Thread(
             target=self._beam_run, daemon=True, name="cb-beam")
         self._beam_thread.start()
@@ -536,8 +576,13 @@ class ContinuousBatchingEngine:
         self._stop.set()
         with self._beam_cv:
             self._beam_cv.notify_all()
+        with self._ready_cv:
+            self._ready_cv.notify_all()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self._encode_thread is not None:
+            self._encode_thread.join(timeout=30)
+            self._encode_thread = None
         if self._beam_thread is not None:
             self._beam_thread.join(timeout=30)
         if self._align_pool is not None:
@@ -689,9 +734,13 @@ class ContinuousBatchingEngine:
 
     @functools.cached_property
     def _admit_fn(self):
-        """Scatter prefilled newcomer state into slots."""
+        """Scatter prefilled newcomer state into slots.
 
-        def admit(slot_idx, src_logits, src_kvk, src_kvv, src_cross,
+        ``src_rows`` gathers from the prepared arrays first (round 4: the
+        encode worker prepares bucket-wide batches; a partially-free slot
+        pool admits any SUBSET of rows, the rest scatter on later ticks)."""
+
+        def admit(slot_idx, src_rows, src_kvk, src_kvv, src_cross,
                   first_tok, first_lp, src_nsp, prompt_len, lim,
                   tokens, offsets, active, done, limit, rs, fstate, nsp,
                   kv_k, kv_v, cross, prompt, n_valid):
@@ -702,9 +751,16 @@ class ContinuousBatchingEngine:
             ok = (jnp.arange(Bn) < n_valid)
             safe = jnp.where(ok, slot_idx, B)  # out-of-range scatters drop
 
-            kv_k = kv_k.at[:, safe].set(src_kvk, mode="drop")
-            kv_v = kv_v.at[:, safe].set(src_kvv, mode="drop")
-            cross = tuple(dst.at[:, safe].set(src, mode="drop")
+            g1 = lambda x: jnp.take(x, src_rows, axis=0)   # (bucket,...) rows
+            g2 = lambda x: jnp.take(x, src_rows, axis=1)   # (L, bucket, ...)
+            first_tok = g1(first_tok)
+            first_lp = g1(first_lp)
+            src_nsp = g1(src_nsp)
+            prompt = g1(prompt)
+
+            kv_k = kv_k.at[:, safe].set(g2(src_kvk), mode="drop")
+            kv_v = kv_v.at[:, safe].set(g2(src_kvv), mode="drop")
+            cross = tuple(dst.at[:, safe].set(g2(src), mode="drop")
                           for dst, src in zip(cross, src_cross))
 
             row = jnp.full((Bn, T), self.cfg.eot, jnp.int32)
@@ -736,7 +792,7 @@ class ContinuousBatchingEngine:
 
         return jax.jit(admit, donate_argnums=(10, 11, 12, 13, 14, 16, 17, 18, 19, 20))
 
-    # ------------------------------------------------------------- worker loop
+    # --------------------------------------------------------- encode worker
     def _free_slots(self) -> List[int]:
         return [i for i in range(self.B) if self._slot_req[i] is None]
 
@@ -748,19 +804,30 @@ class ContinuousBatchingEngine:
                 break
         self.stats.queue_depth = len(self._pending)
 
-    def _admit_new(self):
+    def _prepare_pending_once(self, block: bool = False) -> bool:
+        """ONE encode-worker iteration: take pending requests (bounded by
+        bucket size, admit_chunk under load, and the prepared-ahead cap),
+        run mel+encoder+language-detect+prefill, and push a _PreparedBatch
+        for the decode thread to scatter. Runs on the cb-encode thread in
+        production; tests call it directly for deterministic rounds.
+
+        Returns True if a batch was prepared."""
+        if block and not self._pending:
+            try:
+                self._pending.append(self._queue.get(timeout=0.05))
+            except queue.Empty:
+                return False
         self._drain_queue()
-        free = self._free_slots()
-        # head-of-line bound: with active slots decoding, admit at most
-        # admit_chunk newcomers this round — the in-flight streams stall one
-        # small-bucket encoder pass instead of a full-batch one, and the rest
-        # of the pending queue is admitted on subsequent sync rounds
-        # (interleaved with decode steps). An idle engine admits whole
-        # buckets: best encoder efficiency, nobody to stall.
-        # never admit more than the largest prefill bucket in one batch (a
-        # configured small-bucket engine admits the rest next round)
-        cap = min(len(free), max(self.prefill_buckets))
-        if any(r is not None for r in self._slot_req):
+        with self._ready_cv:
+            ahead = self._prepared_reqs
+        # prepared-ahead cap: at most one slot-pool's worth of requests sit
+        # encoded waiting for slots (bounds ready-queue cross-KV in HBM)
+        cap = min(max(self.prefill_buckets), self.B - ahead)
+        # device-level head-of-line bound: with slots actively decoding, one
+        # admission encode still serializes with decode steps ON THE DEVICE,
+        # so keep those encoder passes small; an idle engine encodes whole
+        # buckets for best MXU efficiency
+        if self.stats.active_slots > 0:
             cap = min(cap, self.admit_chunk)
         newcomers: List[Request] = []
         now = time.perf_counter()
@@ -776,13 +843,27 @@ class ContinuousBatchingEngine:
             newcomers.append(r)
         self.stats.queue_depth = len(self._pending)
         if not newcomers:
-            return
+            return False
+        t0 = time.perf_counter()
         try:
-            self._admit_batch(newcomers)
+            batch = self._prepare_batch(newcomers)
         except Exception as e:  # noqa: BLE001 — fail these requests, keep serving
             for r in newcomers:
                 if not r.future.done():
                     r.future.set_exception(e)
+            return False
+        with self._ready_cv:
+            self._ready.append(batch)
+            self._prepared_reqs += len(newcomers)
+            self.stats.prepared_depth = self._prepared_reqs
+            self._ready_cv.notify_all()
+        self.stats.encode_seconds_total += time.perf_counter() - t0
+        self.stats.encode_batches_total += 1
+        return True
+
+    def _prepare_run(self):
+        while not self._stop.is_set():
+            self._prepare_pending_once(block=True)
 
     def _expire_slots(self):
         """Fail in-flight requests past their deadline (or cancelled) and free
@@ -808,7 +889,10 @@ class ContinuousBatchingEngine:
         self.done = jnp.where(m, False, self.done)
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
 
-    def _admit_batch(self, newcomers: List[Request]):
+    def _prepare_batch(self, newcomers: List[Request]) -> _PreparedBatch:
+        """Encode worker body: mel prep + encoder + prefill for a bucketed
+        batch of newcomers, slot-agnostic. Pure device dispatch — no host
+        sync — so greedy slots keep stepping while this runs."""
         n = len(newcomers)
         bucket = _bucket(n, self.prefill_buckets)
         mel = np.zeros((bucket, N_SAMPLES), np.float32)
@@ -870,29 +954,87 @@ class ContinuousBatchingEngine:
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         first_lp = jnp.take_along_axis(lp0, first[:, None], axis=1)[:, 0]
 
-        slots = self._free_slots()[:n]
+        return _PreparedBatch(reqs=newcomers, kvk=kvk, kvv=kvv,
+                              cross=src_cross, first=first, first_lp=first_lp,
+                              nsp=nsp, prompts=prompts_dev, prompt_len=P)
+
+    # -------------------------------------------------- decode-thread admit
+    def _admit_new(self):
+        """Scatter prepared admissions into free slots (cheap device op).
+
+        The expensive encode+prefill already happened on the encode worker;
+        this only gathers the chosen rows and writes them into the slot
+        state. Partial scatters (fewer free slots than prepared rows)
+        consume a batch across several ticks."""
+        while True:
+            with self._ready_cv:
+                batch = self._ready[0] if self._ready else None
+            if batch is None:
+                return
+            free = self._free_slots()
+            if not free:
+                return
+            rows: List[int] = []
+            takers: List[Request] = []
+            start = batch.consumed
+            now = time.perf_counter()
+            while batch.consumed < len(batch.reqs) and len(rows) < len(free):
+                i = batch.consumed
+                r = batch.reqs[i]
+                batch.consumed += 1
+                if r.future.cancelled():
+                    continue
+                if r.expired(now):
+                    if not r.future.done():
+                        r.future.set_exception(TimeoutError(
+                            f"deadline {r.deadline_s}s expired before a "
+                            f"slot freed"))
+                    continue
+                rows.append(i)
+                takers.append(r)
+            removed = batch.consumed - start
+            if rows:
+                self._scatter_rows(batch, rows, takers)
+            exhausted = batch.consumed >= len(batch.reqs)
+            with self._ready_cv:
+                self._prepared_reqs = max(0, self._prepared_reqs - removed)
+                self.stats.prepared_depth = self._prepared_reqs
+                if exhausted and self._ready and self._ready[0] is batch:
+                    self._ready.popleft()
+            if not exhausted:
+                return  # out of free slots; the rest scatters next tick
+
+    def _scatter_rows(self, batch: _PreparedBatch, rows: List[int],
+                      takers: List[Request]):
+        k = len(rows)
+        bucket = _bucket(k, self.prefill_buckets)
+        slots = self._free_slots()[:k]
         slot_idx = np.full((bucket,), self.B, np.int32)
-        slot_idx[:n] = slots
+        slot_idx[:k] = slots
+        src_rows = np.zeros((bucket,), np.int32)
+        src_rows[:k] = rows
+        P = batch.prompt_len
         # per-slot token budget: request override > engine default, always
         # capped by the bucketed cache (never write past it)
         lim = np.full((bucket,), min(self.cfg.n_text_ctx, self.kv_ctx), np.int32)
-        for i, r in enumerate(newcomers):
+        for j, r in enumerate(takers):
             budget = r.max_tokens or self.max_tokens
             if budget:
-                lim[i] = min(lim[i], P + budget)
+                lim[j] = min(lim[j], P + budget)
 
         (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
          self.fstate, self.nsp, kv_k, kv_v, self.cross) = self._admit_fn(
-            jnp.asarray(slot_idx), logits, kvk, kvv, src_cross,
-            first, first_lp, nsp, jnp.full((bucket,), P, jnp.int32),
-            jnp.asarray(lim),
-            self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
-            self.fstate, self.nsp,
+            jnp.asarray(slot_idx), jnp.asarray(src_rows),
+            batch.kvk, batch.kvv, batch.cross,
+            batch.first, batch.first_lp, batch.nsp,
+            jnp.full((bucket,), P, jnp.int32), jnp.asarray(lim),
+            self.tokens, self.offsets, self.active, self.done, self.limit,
+            self.rs, self.fstate, self.nsp,
             self.kv[0], self.kv[1], self.cross,
-            prompts_dev, jnp.int32(n))
+            batch.prompts, jnp.int32(k))
         self.kv = self._cache_cls(kv_k, kv_v)
 
-        for i, r in zip(slots, newcomers):
+        for i, r in zip(slots, takers):
             self._slot_req[i] = r
             self._slot_prompt_len[i] = P
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
@@ -983,23 +1125,41 @@ class ContinuousBatchingEngine:
             except Exception:
                 req.on_partial = None  # dead consumer: stop streaming to it
 
-    def _harvest(self):
-        # Host syncs are the engine's scarcest resource: on the axon tunnel
-        # each device->host pull is a full RTT, and the r3 phase breakdown
-        # showed harvest at ~97% of ragged-traffic wall with SIX separate
-        # np.asarray pulls per tick. Batch into one device_get for the tiny
-        # control state, and pull the big token/quality arrays only when a
-        # slot actually finished (or a streaming consumer needs partials).
-        done_h, active_h, offs_h = jax.device_get(
-            (self.done, self.active, self.offsets))
+    def _start_harvest_copy(self):
+        """Kick device->host transfers of the round's control/token state
+        WITHOUT waiting on them. The next tick resolves the copies, so the
+        transfer (a full tunnel RTT on axon) overlaps the device's execution
+        of the round just dispatched — the r3 design blocked here instead,
+        and harvest was ~97% of ragged-traffic wall."""
+        arrs = (self.done, self.active, self.offsets, self.tokens,
+                self.fstate, self.nsp)
+        for a in arrs:
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # backend without async copies: device_get still works
+        self._inflight_harvest = arrs
+
+    def _resolve_harvest(self):
+        """Resolve the PREVIOUS round's in-flight copies and harvest from
+        them. One round of latency (slots free ~one sync round after eot) in
+        exchange for never blocking the loop on a cold device->host pull."""
+        if self._inflight_harvest is None:
+            return
+        arrs, self._inflight_harvest = self._inflight_harvest, None
+        done_h, active_h, offs_h, tokens_h, fstate_h, nsp_h = \
+            jax.device_get(arrs)
+        self._harvest_host(done_h, active_h, offs_h, tokens_h, fstate_h,
+                           nsp_h)
+
+    def _harvest_host(self, done_h, active_h, offs_h, tokens_h, fstate_h,
+                      nsp_h):
         streaming = any(r is not None and r.on_partial is not None
                         for r in self._slot_req)
         ready = [i for i in range(self.B)
                  if active_h[i] and done_h[i] and self._slot_req[i] is not None]
         if not ready and not streaming:
             return
-        tokens_h, fstate_h, nsp_h = jax.device_get(
-            (self.tokens, self.fstate, self.nsp))
         if streaming:
             self._emit_partials(tokens_h, offs_h, done_h)
         if not ready:
@@ -1144,19 +1304,29 @@ class ContinuousBatchingEngine:
             req.future.set_result(result)
 
     def _fail_inflight(self, exc: BaseException):
-        """Fail every in-flight and queued request; reset slot state so the
-        loop can keep serving (failure containment — one bad batch must not
-        wedge the server)."""
+        """Fail every in-flight, prepared and queued request; reset slot
+        state so the loop can keep serving (failure containment — one bad
+        batch must not wedge the server)."""
         for i, req in enumerate(self._slot_req):
             if req is not None and not req.future.done():
                 req.future.set_exception(exc)
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
+        with self._ready_cv:
+            prepared = list(self._ready)
+            self._ready.clear()
+            self._prepared_reqs = 0
+            self.stats.prepared_depth = 0
+        for batch in prepared:
+            for req in batch.reqs[batch.consumed:]:
+                if not req.future.done():
+                    req.future.set_exception(exc)
         self._drain_queue()
         while self._pending:
             req = self._pending.popleft()
             if not req.future.done():
                 req.future.set_exception(exc)
+        self._inflight_harvest = None
         self.active = jnp.zeros_like(self.active)
         self.done = jnp.zeros_like(self.done)
         self.stats.active_slots = 0
@@ -1327,16 +1497,29 @@ class ContinuousBatchingEngine:
             self.stats.busy_seconds_total += time.perf_counter() - t0
 
     def _tick(self):
-        """One sync round: expire, admit (bounded by admit_chunk while slots
-        are active), step every active slot steps_per_sync tokens, harvest.
-        Factored out of _run so tests can drive rounds deterministically —
-        in-flight decodes advance every round even mid-admission-burst."""
+        """One decode-thread round (round-4 pipelined shape):
+
+        1. resolve the PREVIOUS round's harvest copies (transfer overlapped
+           that round's device work) and free finished slots;
+        2. expire/cancel; scatter prepared admissions into free slots;
+        3. dispatch steps_per_sync decode steps (async);
+        4. start async copies of the new state for the NEXT tick.
+
+        The only blocking host call is step 1, on a transfer that has been
+        in flight for a whole round. Factored out of _run so tests can
+        drive rounds deterministically; without a started encode thread it
+        also runs one encode-worker iteration inline (single-thread mode)."""
         t0 = time.perf_counter()
         self.stats.ticks_total += 1
+        if self._encode_thread is None:
+            self._prepare_pending_once()
+        self._resolve_harvest()
+        t1 = time.perf_counter()
+        self.stats.harvest_seconds_total += t1 - t0
         self._expire_slots()
         self._admit_new()
-        t1 = time.perf_counter()
-        self.stats.admit_seconds_total += t1 - t0
+        t2 = time.perf_counter()
+        self.stats.admit_seconds_total += t2 - t1
         if any(r is not None for r in self._slot_req):
             (self.tokens, self.offsets, self.done, self.rs, self.fstate,
              kv_k, kv_v) = \
@@ -1346,22 +1529,21 @@ class ContinuousBatchingEngine:
                               self.kv[0], self.kv[1], self.cross,
                               self.steps_per_sync)
             self.kv = self._cache_cls(kv_k, kv_v)
-            t2 = time.perf_counter()
-            self.stats.step_seconds_total += t2 - t1
-            self._harvest()
-            self.stats.harvest_seconds_total += time.perf_counter() - t2
+            self._start_harvest_copy()
+            self.stats.step_seconds_total += time.perf_counter() - t2
         self.stats.busy_seconds_total += time.perf_counter() - t0
 
     def _run(self):
         while not self._stop.is_set():
             try:
                 has_active = any(r is not None for r in self._slot_req)
-                if not has_active and not self._pending and self._queue.empty():
-                    try:
-                        # idle: block briefly, preserve FIFO via _pending
-                        self._pending.append(self._queue.get(timeout=0.05))
-                    except queue.Empty:
-                        continue
+                if not has_active and self._inflight_harvest is None:
+                    # idle: wait for the encode worker to prepare work
+                    with self._ready_cv:
+                        if not self._ready:
+                            self._ready_cv.wait(timeout=0.05)
+                            if not self._ready:
+                                continue
                 self._tick()
             except Exception as e:  # noqa: BLE001 — engine thread must survive
                 self._fail_inflight(e)
