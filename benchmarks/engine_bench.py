@@ -42,12 +42,17 @@ def main() -> int:
     p.add_argument("--admit_chunk", type=int, default=0,
                    help="0 = slots // 4")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--kv_quant", action="store_true")
-    p.add_argument("--self_kv_quant", action="store_true")
-    p.add_argument("--w8a8", action="store_true",
+    # defaults mirror the server CLI's out-of-the-box configuration
+    # (serving/__main__.py): the zero-flag row IS the shipped config
+    p.add_argument("--kv_quant", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--self_kv_quant", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--w8a8", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="int8 weights + dynamic-int8 encoder activations "
                         "(the flagship quant mode, quant_gate-passed)")
-    p.add_argument("--steps_per_sync", type=int, default=4)
+    p.add_argument("--steps_per_sync", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--beam", type=int, default=1,
                    help=">1: all requests go through the engine's beam "
@@ -118,9 +123,11 @@ def main() -> int:
     # zero the phase counters so the printed breakdown covers the measured
     # run only (the warmup's jit compiles would otherwise dominate step_s)
     for f in ("busy_seconds_total", "admit_seconds_total",
-              "step_seconds_total", "harvest_seconds_total"):
+              "step_seconds_total", "harvest_seconds_total",
+              "encode_seconds_total"):
         setattr(eng.stats, f, 0.0)
     eng.stats.ticks_total = 0
+    eng.stats.encode_batches_total = 0
 
     # ---- measured run
     reqs = [make_req() for _ in range(args.requests)]
@@ -176,6 +183,10 @@ def main() -> int:
         "admit_s": round(eng.stats.admit_seconds_total, 2),
         "step_s": round(eng.stats.step_seconds_total, 2),
         "harvest_s": round(eng.stats.harvest_seconds_total, 2),
+        # encode worker time runs CONCURRENTLY with the decode loop (r4);
+        # it overlaps busy time rather than adding to it
+        "encode_s": round(eng.stats.encode_seconds_total, 2),
+        "encode_batches": eng.stats.encode_batches_total,
         "ticks": eng.stats.ticks_total,
     }
     print(json.dumps(out))

@@ -68,8 +68,7 @@ def _run_dp(args) -> int:
                "--tp", str(args.tp), "--timeout", str(args.timeout)]
         if args.checkpoint:
             cmd += ["--checkpoint", args.checkpoint]
-        if args.max_tokens:
-            cmd += ["--max_tokens", str(args.max_tokens)]
+        cmd += ["--max_tokens", str(args.max_tokens)]
         cmd += ["--no_speech_threshold", str(args.no_speech_threshold),
                 "--logprob_threshold", str(args.logprob_threshold),
                 "--compression_ratio_threshold",
@@ -81,9 +80,11 @@ def _run_dp(args) -> int:
                 "--temperature_fallback", args.temperature_fallback]
         if args.length_penalty is not None:
             cmd += ["--length_penalty", str(args.length_penalty)]
-        for flag in ("timestamps", "kv_quant", "self_kv_quant"):
-            if getattr(args, flag):
-                cmd.append(f"--{flag}")
+        if args.timestamps:
+            cmd.append("--timestamps")
+        for flag in ("kv_quant", "self_kv_quant", "w8a8"):
+            cmd.append(f"--{flag}" if getattr(args, flag)
+                       else f"--no-{flag}")
         env = dict(os.environ)
         # pin a disjoint chip slice per replica (harmless on the CPU
         # backend): replica i owns chips [i*tp, (i+1)*tp). Without this,
@@ -144,13 +145,28 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", "-p", default=None)
     p.add_argument("--slots", type=int, default=8, help="max concurrent decodes")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--steps_per_sync", type=int, default=4)
-    p.add_argument("--max_tokens", type=int, default=None)
+    # Out-of-the-box defaults REPRODUCE the benched flagship configuration
+    # (BENCH_NOTES r3/r4): steps_per_sync 8, int8 cross+self KV, W8A8
+    # weights, and a 224-token budget (OpenAI transcribe's sample_len =
+    # n_text_ctx // 2) so the self-KV cache buckets to 256 positions
+    # instead of streaming all 448 every step (~1.8x the benched step cost,
+    # VERDICT r3 weak #3). Opt out per flag for debugging/parity runs.
+    p.add_argument("--steps_per_sync", type=int, default=8)
+    p.add_argument("--max_tokens", type=int, default=224,
+                   help="per-request generated-token budget; bounds the "
+                        "bucketed self-KV cache (default 224 = OpenAI "
+                        "sample_len; 0 = unlimited full-context cache)")
     p.add_argument("--timestamps", action="store_true")
-    p.add_argument("--kv_quant", action="store_true",
+    p.add_argument("--kv_quant", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="int8-quantize the cross-attention KV state")
-    p.add_argument("--self_kv_quant", action="store_true",
+    p.add_argument("--self_kv_quant", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="int8-quantize the self-attention KV slot cache")
+    p.add_argument("--w8a8", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="int8 weights + dynamic-int8 encoder activations "
+                        "(quant-gated; the benched flagship mode)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard weights/KV over this "
                         "many chips (heads+MLP over the model mesh axis)")
@@ -213,6 +229,13 @@ def main(argv=None) -> int:
     else:
         cfg = get_config(args.model_type)
         params = init_params(cfg)
+    if args.w8a8:
+        import os as _os
+
+        from ..ops.quant import quantize_params
+
+        _os.environ["WHISPER_TPU_W8A8"] = "1"
+        params = quantize_params(params)
     tok = get_tokenizer(cfg.is_multilingual, num_languages=cfg.num_languages)
 
     mesh = None
@@ -226,7 +249,8 @@ def main(argv=None) -> int:
         max_slots=args.slots,
         compute_dtype=jnp.dtype(args.dtype),
         steps_per_sync=args.steps_per_sync,
-        max_tokens=args.max_tokens,
+        max_tokens=(args.max_tokens if args.max_tokens
+                    and args.max_tokens > 0 else None),
         timestamps=args.timestamps,
         kv_quant=args.kv_quant,
         self_kv_quant=args.self_kv_quant,

@@ -658,7 +658,11 @@ class ContinuousBatchingEngine:
             fstate = jax.lax.bitcast_convert_type(st[:, 6:8], jnp.float32)
             return tokens, st[:, 0], st[:, 1] > 0, rs, fstate, kv_k, kv_v
 
-        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(1, 6, 7, 8, 9))
+        # donate ONLY buffers the pipelined harvest never copies to host
+        # (rs + the KV slabs): tokens/fstate are referenced by in-flight
+        # copy_to_host_async transfers from the previous round — donating
+        # them deletes the buffer under the pending copy (round-4 bug)
+        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(6, 8, 9))
 
     @functools.cached_property
     def _encode_fn(self):
@@ -790,7 +794,10 @@ class ContinuousBatchingEngine:
             return (tokens, offsets, active, done, limit, rs, fstate, nsp,
                     kv_k, kv_v, cross)
 
-        return jax.jit(admit, donate_argnums=(10, 11, 12, 13, 14, 16, 17, 18, 19, 20))
+        # donate the KV slabs + cross only; the small slot-state arrays are
+        # host-copied by the pipelined harvest and must not be invalidated
+        # under a pending transfer (see _step_fn note)
+        return jax.jit(admit, donate_argnums=(18, 19, 20))
 
     # --------------------------------------------------------- encode worker
     def _free_slots(self) -> List[int]:
@@ -1139,18 +1146,6 @@ class ContinuousBatchingEngine:
             except (AttributeError, RuntimeError):
                 pass  # backend without async copies: device_get still works
         self._inflight_harvest = arrs
-
-    def _resolve_harvest(self):
-        """Resolve the PREVIOUS round's in-flight copies and harvest from
-        them. One round of latency (slots free ~one sync round after eot) in
-        exchange for never blocking the loop on a cold device->host pull."""
-        if self._inflight_harvest is None:
-            return
-        arrs, self._inflight_harvest = self._inflight_harvest, None
-        done_h, active_h, offs_h, tokens_h, fstate_h, nsp_h = \
-            jax.device_get(arrs)
-        self._harvest_host(done_h, active_h, offs_h, tokens_h, fstate_h,
-                           nsp_h)
 
     def _harvest_host(self, done_h, active_h, offs_h, tokens_h, fstate_h,
                       nsp_h):
@@ -1505,22 +1500,22 @@ class ContinuousBatchingEngine:
         3. dispatch steps_per_sync decode steps (async);
         4. start async copies of the new state for the NEXT tick.
 
-        The only blocking host call is step 1, on a transfer that has been
-        in flight for a whole round. Factored out of _run so tests can
-        drive rounds deterministically; without a started encode thread it
-        also runs one encode-worker iteration inline (single-thread mode)."""
+        The only blocking host call is the resolve, on a transfer that has
+        been in flight for a whole round — and it happens AFTER the next
+        step round is dispatched, so the device is executing round N while
+        the host waits on round N-1's transfer (the device never idles on a
+        sync). Factored out of _run so tests can drive rounds
+        deterministically; without a started encode thread it also runs one
+        encode-worker iteration inline (single-thread mode)."""
         t0 = time.perf_counter()
         self.stats.ticks_total += 1
         if self._encode_thread is None:
             self._prepare_pending_once()
-        self._resolve_harvest()
-        t1 = time.perf_counter()
-        self.stats.harvest_seconds_total += t1 - t0
-        self._expire_slots()
-        self._admit_new()
-        t2 = time.perf_counter()
-        self.stats.admit_seconds_total += t2 - t1
+        prev = self._inflight_harvest  # round N-1 copies, still in flight
+        self._inflight_harvest = None
         if any(r is not None for r in self._slot_req):
+            # dispatch round N FIRST: harvested-but-done slots are masked on
+            # device and the step cost is per-pool, so nothing is wasted
             (self.tokens, self.offsets, self.done, self.rs, self.fstate,
              kv_k, kv_v) = \
                 self._step_fn(self.params, self.tokens, self.offsets,
@@ -1530,7 +1525,18 @@ class ContinuousBatchingEngine:
                               self.steps_per_sync)
             self.kv = self._cache_cls(kv_k, kv_v)
             self._start_harvest_copy()
-            self.stats.step_seconds_total += time.perf_counter() - t2
+        t1 = time.perf_counter()
+        self.stats.step_seconds_total += t1 - t0
+        if prev is not None:
+            done_h, active_h, offs_h, tokens_h, fstate_h, nsp_h = \
+                jax.device_get(prev)
+            self._harvest_host(done_h, active_h, offs_h, tokens_h,
+                               fstate_h, nsp_h)
+        t2 = time.perf_counter()
+        self.stats.harvest_seconds_total += t2 - t1
+        self._expire_slots()
+        self._admit_new()  # scattered now, stepped in round N+1
+        self.stats.admit_seconds_total += time.perf_counter() - t2
         self.stats.busy_seconds_total += time.perf_counter() - t0
 
     def _run(self):
