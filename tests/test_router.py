@@ -167,6 +167,35 @@ def test_router_failover_on_dead_backend(two_replicas, rng):
     assert status == 503 and h["status"] == "degraded"
 
 
+def test_router_streaming_longform_split(two_replicas, rng):
+    """A >30 s STREAMING request fans out across the fleet AND keeps its
+    NDJSON stream: ordered window partials, then the merged final payload
+    (round 4 — previously split requests lost streaming)."""
+    router_srv, _, engines, _ = two_replicas
+    port = router_srv.server_address[1]
+    pcm = (rng.standard_normal(16000 * 70) * 0.1).astype(np.float32)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/asr?language=zh&stream=1",
+        data=pcm.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert "ndjson" in r.headers.get("Content-Type", "")
+        lines = [json.loads(ln) for ln in r.read().decode().splitlines()
+                 if ln]
+    final = lines[-1]
+    assert final.get("success") is True
+    assert final["split"] == "router" and final["windows"] == 3
+    partials = [ln for ln in lines[:-1] if "partial" in ln]
+    assert partials, "no window partials relayed"
+    # partials arrive in window order
+    wins = [p["window"] for p in partials]
+    assert wins == sorted(wins)
+    # the windows really decoded fleet-parallel on the replicas
+    assert sum(e.stats.requests_total for e in engines) == 3
+    served = [b.requests_total for b in router_srv.router.backends]
+    assert all(n >= 1 for n in served), f"not fanned out: {served}"
+
+
 def test_router_streaming_passthrough(two_replicas, rng):
     """NDJSON streaming relays through the router chunk-by-chunk."""
     router_srv, _, _, _ = two_replicas

@@ -23,7 +23,11 @@ import numpy as np
 
 from .config import WhisperConfig
 
-NEG_INF = jnp.float32(-1e30)
+# np scalar, NOT jnp: a module-level jnp value is a concrete device array
+# that every trace capturing it const-lifts into the compiled executable's
+# input list — and the XLA-CPU SPMD execution path then invokes the program
+# with the wrong buffer arity (round-4 dryrun. np scalars embed as literals.)
+NEG_INF = np.float32(-1e30)
 
 
 def build_suppress_ids(cfg: WhisperConfig, tokenizer=None,

@@ -161,6 +161,14 @@ class _PreparedBatch:
     consumed: int = 0              # rows already scattered into slots
 
 
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -170,6 +178,14 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 class ContinuousBatchingEngine:
     """Slot-based continuous batching over one model."""
+
+    # Serialize FIRST-call jit compiles across engine threads: the decode
+    # thread's step program and the encode worker's prefill program can
+    # otherwise trace+compile concurrently, which the partitioned CPU
+    # backend intermittently mishandles (executable called with the wrong
+    # buffer count; observed flakily in the round-4 multichip dryrun).
+    # After the warm call each program is a cache hit and runs lock-free.
+    _first_compile_lock = threading.Lock()
 
     def __init__(
         self,
@@ -238,6 +254,20 @@ class ContinuousBatchingEngine:
         # library users/tests get deterministic single-pass results.
         self.temperature_fallback = tuple(temperature_fallback or ())
 
+        # Eagerly import every module the worker threads otherwise lazily
+        # first-import (align on the align pool, beam/decode on the beam
+        # worker, model.quantize_cross_kv at encode-trace time, longform on
+        # HTTP handler threads): a module executing its top level on one
+        # worker thread while another engine thread traces a jitted program
+        # intermittently corrupts the compiled call — the r4 multichip
+        # dryrun reproduced a partitioned step executable invoked with the
+        # wrong buffer arity until these imports moved to the main thread.
+        from .. import (  # noqa: F401
+            align as _align_mod,
+            beam as _beam_mod,
+            decode as _decode_mod,
+            longform as _longform_mod,
+        )
         from ..models.model import cast_floating
 
         self.params = cast_floating(params, compute_dtype)
@@ -275,6 +305,17 @@ class ContinuousBatchingEngine:
         self._suppress = (
             jnp.asarray(build_suppress_ids(cfg, tokenizer)) if apply_filters else None
         )
+        self._empty_suppress = jnp.zeros((0,), jnp.int32)
+        if mesh is not None:
+            self._empty_suppress = jax.device_put(
+                self._empty_suppress, self._rep_sharding)
+        if mesh is not None and self._suppress is not None:
+            # the step/prefill programs close over this array: it must live
+            # replicated ON THE MESH, not committed to the default device —
+            # a single-device closure constant inside a partitioned
+            # executable miscounts its input buffers (found by the r4
+            # dryrun's timestamps engine under TP)
+            self._suppress = jax.device_put(self._suppress, self._rep_sharding)
 
         T = cfg.n_text_ctx
         L, D = cfg.n_text_layer, cfg.n_text_state
@@ -363,6 +404,9 @@ class ContinuousBatchingEngine:
         # resolved at the START of the next tick so the transfer overlaps
         # the device's execution of the current round
         self._inflight_harvest = None
+        # first-call compile serialization (see _first_compile_lock)
+        self._step_warm = False
+        self._prepare_warm = False
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -598,8 +642,14 @@ class ContinuousBatchingEngine:
         cache_cls = self._cache_cls
         use_rules = self.apply_filters or timestamps or suppress is not None
 
-        def steps(params, tokens, offsets, active, done, limit, rs, fstate,
-                  kv_k, kv_v, cross, n_steps):
+        has_suppress = suppress is not None
+
+        def steps(params, suppress, tokens, offsets, active, done, limit,
+                  rs, fstate, kv_k, kv_v, cross, n_steps):
+            # suppress rides as an EXPLICIT argument: a closure-captured
+            # device array gets const-lifted into the partitioned
+            # executable's input list, and the execution path then calls it
+            # with the wrong buffer arity (XLA-CPU SPMD; r4 dryrun)
             # the AOT TPU compiler's loop cost explodes with carry arity —
             # pack all small per-slot state into one (B, 8) i32 array:
             # [offset, done, rs.last, rs.penult, rs.max_ts, rs.n_sampled,
@@ -623,8 +673,10 @@ class ContinuousBatchingEngine:
                     params, cur, pos, cache_cls(kv_k, kv_v),
                     cross, cfg, dt)
                 if use_rules:
-                    logits = apply_rules(logits, rs, cfg, suppress_ids=suppress,
-                                         timestamps=timestamps)
+                    logits = apply_rules(
+                        logits, rs, cfg,
+                        suppress_ids=(suppress if has_suppress else None),
+                        timestamps=timestamps)
                 lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 step_ok = active & ~done
@@ -662,7 +714,7 @@ class ContinuousBatchingEngine:
         # (rs + the KV slabs): tokens/fstate are referenced by in-flight
         # copy_to_host_async transfers from the previous round — donating
         # them deletes the buffer under the pending copy (round-4 bug)
-        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(6, 8, 9))
+        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(7, 9, 10))
 
     @functools.cached_property
     def _encode_fn(self):
@@ -853,7 +905,12 @@ class ContinuousBatchingEngine:
             return False
         t0 = time.perf_counter()
         try:
-            batch = self._prepare_batch(newcomers)
+            if self._prepare_warm:
+                batch = self._prepare_batch(newcomers)
+            else:
+                with ContinuousBatchingEngine._first_compile_lock:
+                    batch = self._prepare_batch(newcomers)
+                self._prepare_warm = True
         except Exception as e:  # noqa: BLE001 — fail these requests, keep serving
             for r in newcomers:
                 if not r.future.done():
@@ -1516,13 +1573,21 @@ class ContinuousBatchingEngine:
         if any(r is not None for r in self._slot_req):
             # dispatch round N FIRST: harvested-but-done slots are masked on
             # device and the step cost is per-pool, so nothing is wasted
-            (self.tokens, self.offsets, self.done, self.rs, self.fstate,
-             kv_k, kv_v) = \
-                self._step_fn(self.params, self.tokens, self.offsets,
-                              self.active, self.done, self.limit, self.rs,
-                              self.fstate,
-                              self.kv[0], self.kv[1], self.cross,
-                              self.steps_per_sync)
+            if self._step_warm:
+                lock = _NullCtx()
+            else:
+                lock = ContinuousBatchingEngine._first_compile_lock
+            sup = (self._suppress if self._suppress is not None
+                   else self._empty_suppress)
+            with lock:
+                (self.tokens, self.offsets, self.done, self.rs, self.fstate,
+                 kv_k, kv_v) = \
+                    self._step_fn(self.params, sup, self.tokens, self.offsets,
+                                  self.active, self.done, self.limit, self.rs,
+                                  self.fstate,
+                                  self.kv[0], self.kv[1], self.cross,
+                                  self.steps_per_sync)
+            self._step_warm = True
             self.kv = self._cache_cls(kv_k, kv_v)
             self._start_harvest_copy()
         t1 = time.perf_counter()

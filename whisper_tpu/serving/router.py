@@ -17,8 +17,9 @@ into overlapping 30 s windows and fans them out across the fleet in
 parallel, merging the transcripts at the edge (``longform.merge_texts``).
 A single engine decodes one long request's windows sequentially as slot
 streams; the router-level split turns that into fleet-parallel wall-clock.
-Streaming requests keep single-backend affinity (partials need one engine's
-ordered merge).
+Streaming long requests fan out too (round 4): window partials are relayed
+in window order, each merged with the finished transcripts of earlier
+windows, then the merged final payload closes the NDJSON stream.
 """
 
 from __future__ import annotations
@@ -378,6 +379,148 @@ class RouterHandler(BaseHTTPRequestHandler):
         self._send(200, out)
         return True
 
+    # ---------------------------------------------------- streaming split
+    def _chunk(self, obj: dict):
+        data = (json.dumps(obj, ensure_ascii=False) + "\n").encode()
+        self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+        self.wfile.flush()
+
+    def _stream_window(self, w: np.ndarray, language, out_q):
+        """POST one window with stream=1 and feed its NDJSON lines into
+        out_q as ("partial", text) / ("final", payload) / ("error", msg)."""
+        router = self.router
+        hdrs = {"Content-Type": "application/octet-stream",
+                "X-Language": str(language), "X-Stream": "1"}
+        for k, h in (("task", "X-Task"), ("beam", "X-Beam"),
+                     ("temperature", "X-Temperature"),
+                     ("word_timestamps", "X-Word-Timestamps")):
+            hdrs[h] = str(self._split_params[k])
+        try:
+            b, resp, conn = router.forward("POST", "/asr", w.tobytes(), hdrs)
+        except ConnectionError as e:
+            out_q.put(("error", str(e)))
+            return
+        try:
+            while True:
+                line = resp.readline()
+                if not line:
+                    out_q.put(("error", "backend stream ended early"))
+                    return
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if "partial" in obj:
+                    out_q.put(("partial", obj["partial"]))
+                else:
+                    if not obj.get("success", False):
+                        out_q.put(("error", str(obj.get("error")
+                                               or "window failed")))
+                    else:
+                        out_q.put(("final", obj))
+                    return
+        except OSError as e:
+            out_q.put(("error", str(e)))
+        finally:
+            router.release(b, conn)
+
+    def _maybe_stream_split_longform(self, body: bytes, qs: dict) -> bool:
+        """Streaming counterpart of the router split (VERDICT r3 #8): >30 s
+        streaming requests used to lose either streaming (split path) or
+        fleet parallelism (relay path). Windows decode fleet-parallel with
+        stream=1; their partials are relayed IN WINDOW ORDER, each merged
+        with the finished transcripts of earlier windows, then the merged
+        final payload closes the stream."""
+        import queue as _q
+
+        from ..config import N_SAMPLES, SAMPLE_RATE
+        from ..longform import merge_texts, merge_transcripts, split_audio
+
+        parsed = _parse_asr_request(
+            body, self.headers.get("Content-Type", ""), self.headers, qs)
+        if parsed is None:
+            return False
+        audio, params = parsed
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if audio.size <= N_SAMPLES:
+            return False
+        self._split_params = params
+        router = self.router
+        overlap = int(router.longform_overlap_s * SAMPLE_RATE)
+        waves, _ = split_audio(audio, N_SAMPLES, overlap)
+        n = len(waves)
+        t0 = time.perf_counter()
+
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "application/x-ndjson; charset=utf-8")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+
+        lang = params["language"]
+        queues = [_q.Queue() for _ in range(n)]
+        threads = []
+
+        def launch(j, language):
+            t = threading.Thread(target=self._stream_window,
+                                 args=(waves[j], language, queues[j]),
+                                 daemon=True)
+            t.start()
+            threads.append(t)
+
+        try:
+            auto = lang in (None, "", "auto")
+            launch(0, "auto" if auto else lang)
+            finals: List[Optional[dict]] = [None] * n
+            for j in range(n):
+                while True:
+                    kind, payload = queues[j].get()
+                    if kind == "error":
+                        self._chunk({"success": False, "error": payload,
+                                     "window": j})
+                        self.wfile.write(b"0\r\n\r\n")
+                        return True
+                    if kind == "partial":
+                        prefix = [finals[i]["text"] for i in range(j)]
+                        self._chunk({"partial": merge_texts(
+                            prefix + [payload],
+                            lang if not auto else "en"),
+                            "window": j})
+                        continue
+                    finals[j] = payload
+                    break
+                if j == 0:
+                    if auto:
+                        lang = finals[0].get("language") or "en"
+                        auto = False
+                    # window 0 resolved the language: fan the rest out
+                    # fleet-parallel with the shared code
+                    for k in range(1, n):
+                        launch(k, lang)
+            with router._lock:
+                router.split_requests_total += 1
+            step = (N_SAMPLES - overlap) / SAMPLE_RATE
+            merged = merge_transcripts(finals, step, overlap / SAMPLE_RATE,
+                                       lang)
+            wall = time.perf_counter() - t0
+            audio_s = audio.size / SAMPLE_RATE
+            out = {
+                "success": True, "text": merged["text"], "language": lang,
+                "audio_seconds": audio_s, "wall_seconds": wall,
+                "rtf": wall / max(audio_s, 1e-9), "windows": n,
+                "split": "router",
+                "tokens": int(sum(r.get("tokens", 0) for r in finals)),
+            }
+            if str(params["word_timestamps"]).lower() in ("1", "true",
+                                                          "yes", "on"):
+                out["words"] = merged.get("words", [])
+            self._chunk(out)
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away mid-stream
+        return True
+
     def do_POST(self):
         length = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(length) if length > 0 else b""
@@ -394,12 +537,14 @@ class RouterHandler(BaseHTTPRequestHandler):
         from ..config import N_SAMPLES as _NS
 
         may_be_long = len(body) > 2 * _NS
-        if (route in ("/asr", "/transcribe") and not streaming
-                and may_be_long
+        if (route in ("/asr", "/transcribe") and may_be_long
                 and self.router.split_longform
                 and len(self.router.backends) > 1):
             try:
-                if self._maybe_split_longform(body, qs):
+                if streaming:
+                    if self._maybe_stream_split_longform(body, qs):
+                        return
+                elif self._maybe_split_longform(body, qs):
                     return
             except ConnectionError as e:
                 self._send(503, {"success": False, "error": str(e)})
