@@ -1,0 +1,42 @@
+"""Weights-day automation rehearsal (scripts/weights_day.py --dry-run).
+
+The real run needs network + checkpoints; the dry run executes the SAME
+code path — fetch skip, golden smoke, quant gate, per-size WER harness,
+quality spot checks, report writing — on synthetic data with random
+weights, so the one-command weights-day flow cannot rot (VERDICT r3 #6).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_weights_day_dry_run(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "weights_day.py"),
+         "--dry-run", "--workdir", str(tmp_path)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = json.loads((tmp_path / "weights_day_report.json").read_text())
+    assert report["dry_run"] is True
+    assert report["fetch"].startswith("skipped")
+    assert "golden" in report and "expected" in report["golden"]
+    assert report["quant_gate"]["rc"] in (0, 1)  # random-init may trip gates
+    assert "wer" in report and report["wer"]  # per-size table produced
+    for r in report["wer"].values():
+        assert r["wer"] >= 0.0 and r["pass"] is None  # no asserts in dry-run
+    assert "silence_gate" in report and "longform" in report
+    md = (tmp_path / "weights_day_report.md").read_text()
+    assert "DRY-RUN" in md and "| model |" in md
+    # the per-size artifacts exist where the real run would leave them
+    assert (tmp_path / "wer_test-nano.txt").exists() or any(
+        p.name.startswith("wer_") for p in tmp_path.iterdir())
