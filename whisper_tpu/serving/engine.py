@@ -710,11 +710,10 @@ class ContinuousBatchingEngine:
             fstate = jax.lax.bitcast_convert_type(st[:, 6:8], jnp.float32)
             return tokens, st[:, 0], st[:, 1] > 0, rs, fstate, kv_k, kv_v
 
-        # donate ONLY buffers the pipelined harvest never copies to host
-        # (rs + the KV slabs): tokens/fstate are referenced by in-flight
-        # copy_to_host_async transfers from the previous round — donating
-        # them deletes the buffer under the pending copy (round-4 bug)
-        return jax.jit(steps, static_argnames=("n_steps",), donate_argnums=(7, 9, 10))
+        # full donation is safe: the pipelined harvest copies a PACKED
+        # buffer (_pack_harvest_fn output), never these arrays directly
+        return jax.jit(steps, static_argnames=("n_steps",),
+                       donate_argnums=(2, 7, 8, 9, 10))
 
     @functools.cached_property
     def _encode_fn(self):
@@ -846,10 +845,8 @@ class ContinuousBatchingEngine:
             return (tokens, offsets, active, done, limit, rs, fstate, nsp,
                     kv_k, kv_v, cross)
 
-        # donate the KV slabs + cross only; the small slot-state arrays are
-        # host-copied by the pipelined harvest and must not be invalidated
-        # under a pending transfer (see _step_fn note)
-        return jax.jit(admit, donate_argnums=(18, 19, 20))
+        return jax.jit(admit, donate_argnums=(10, 11, 12, 13, 14, 16, 17,
+                                               18, 19, 20))
 
     # --------------------------------------------------------- encode worker
     def _free_slots(self) -> List[int]:
@@ -882,6 +879,10 @@ class ContinuousBatchingEngine:
         # prepared-ahead cap: at most one slot-pool's worth of requests sit
         # encoded waiting for slots (bounds ready-queue cross-KV in HBM)
         cap = min(max(self.prefill_buckets), self.B - ahead)
+        if cap <= 0:
+            if block:
+                time.sleep(0.002)  # capacity exhausted: don't spin hot
+            return False
         # device-level head-of-line bound: with slots actively decoding, one
         # admission encode still serializes with decode steps ON THE DEVICE,
         # so keep those encoder passes small; an idle engine encodes whole
@@ -1189,20 +1190,38 @@ class ContinuousBatchingEngine:
             except Exception:
                 req.on_partial = None  # dead consumer: stop streaming to it
 
+    @functools.cached_property
+    def _pack_harvest_fn(self):
+        """Pack ALL harvest state into ONE (B, 6+T) i32 buffer: on the axon
+        tunnel every device->host transfer is a full RTT, so six separate
+        array pulls per tick cost ~6 RTTs (measured r4: ticks at ~0.85 s
+        with the device busy ~0.25 s). One packed buffer = one transfer."""
+
+        def pack(tokens, offsets, active, done, fstate, nsp):
+            ctrl = jnp.concatenate([
+                offsets[:, None],
+                active.astype(jnp.int32)[:, None],
+                done.astype(jnp.int32)[:, None],
+                jax.lax.bitcast_convert_type(fstate, jnp.int32),   # (B, 2)
+                jax.lax.bitcast_convert_type(nsp[:, None], jnp.int32),
+            ], axis=1)
+            return jnp.concatenate([ctrl, tokens], axis=1)
+
+        return jax.jit(pack)
+
     def _start_harvest_copy(self):
-        """Kick device->host transfers of the round's control/token state
-        WITHOUT waiting on them. The next tick resolves the copies, so the
+        """Kick the device->host transfer of the round's packed state
+        WITHOUT waiting on it. The next tick resolves the copy, so the
         transfer (a full tunnel RTT on axon) overlaps the device's execution
         of the round just dispatched — the r3 design blocked here instead,
         and harvest was ~97% of ragged-traffic wall."""
-        arrs = (self.done, self.active, self.offsets, self.tokens,
-                self.fstate, self.nsp)
-        for a in arrs:
-            try:
-                a.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass  # backend without async copies: device_get still works
-        self._inflight_harvest = arrs
+        buf = self._pack_harvest_fn(self.tokens, self.offsets, self.active,
+                                    self.done, self.fstate, self.nsp)
+        try:
+            buf.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # backend without async copies: device_get still works
+        self._inflight_harvest = buf
 
     def _harvest_host(self, done_h, active_h, offs_h, tokens_h, fstate_h,
                       nsp_h):
@@ -1593,8 +1612,13 @@ class ContinuousBatchingEngine:
         t1 = time.perf_counter()
         self.stats.step_seconds_total += t1 - t0
         if prev is not None:
-            done_h, active_h, offs_h, tokens_h, fstate_h, nsp_h = \
-                jax.device_get(prev)
+            h = np.asarray(jax.device_get(prev))
+            offs_h = h[:, 0]
+            active_h = h[:, 1] > 0
+            done_h = h[:, 2] > 0
+            fstate_h = h[:, 3:5].view(np.float32)
+            nsp_h = h[:, 5:6].view(np.float32)[:, 0]
+            tokens_h = h[:, 6:]
             self._harvest_host(done_h, active_h, offs_h, tokens_h,
                                fstate_h, nsp_h)
         t2 = time.perf_counter()
