@@ -70,7 +70,13 @@ def main() -> int:
             acc = jnp.float32(0)
             for i in range(n):
                 y = dot(jax.lax.slice_in_dim(pad, i, i + L0, axis=0), w)
-                acc = acc + jnp.sum(y[..., :1, :1]).astype(jnp.float32)
+                # FULL-sum epilogue: summing a slice (y[..., :1, :1]) lets
+                # XLA narrow the whole dot to the sliced output columns —
+                # the r3 run 'measured' 2x the chip's bf16 peak that way.
+                # The full reduce keeps every MAC live (absolute numbers
+                # become epilogue-inflated; compare RATIOS of same-output
+                # probes, as int8_gemm_probe.py documents).
+                acc = acc + jnp.sum(y.astype(jnp.float32))
             return acc
 
         return jax.jit(f), pad
@@ -117,14 +123,16 @@ def main() -> int:
     note("proj_int8_ms", round(t_i8p * 1e3, 3))
     note("proj_int8_speedup", round(t_bfp / t_i8p, 2))
 
-    # ---- 2. attention-dot fill probe (batched, turbo per-layer shape)
-    # same MAC count both ways: (BH, T, 64)x(BH, 64, T) full outputs vs
-    # (BH/2, T, 128)x(BH/2, 128, T) half the batched outputs
-    BH, T = 64 * 20, 1500
+    # ---- 2. attention-dot depth probe (batched, turbo per-layer shape)
+    # IDENTICAL output shape both ways (same epilogue), contraction depth
+    # 64 vs 128 (2x the MACs). t128/t64 ~ 1.0 => the array is depth-starved
+    # at dh=64 (the extra 64 lanes are free -> packing could win);
+    # t128/t64 ~ 2.0 => depth-64 already fills the MXU -> packing refuted.
+    BH, T = 16 * 20, 1500  # 16 batch rows keep the (BH,T,T) output in HBM
     q64 = jnp.asarray(rng.standard_normal((BH, T, 64)), jnp.bfloat16)
     k64 = jnp.asarray(rng.standard_normal((BH, 64, T)), jnp.bfloat16)
-    q128 = jnp.asarray(rng.standard_normal((BH // 2, T, 128)), jnp.bfloat16)
-    k128 = jnp.asarray(rng.standard_normal((BH // 2, 128, T)), jnp.bfloat16)
+    q128 = jnp.asarray(rng.standard_normal((BH, T, 128)), jnp.bfloat16)
+    k128 = jnp.asarray(rng.standard_normal((BH, 128, T)), jnp.bfloat16)
 
     def bdot(a, w):
         return jax.lax.dot_general(
@@ -136,22 +144,22 @@ def main() -> int:
     note("score_dh64_ms", round(t64 * 1e3, 3))
     f, pa = chain(bdot, q128, k128)
     t128 = _time(f, pa, k128, repeats=args.repeats) / n
-    note("score_k128_half_out_ms", round(t128 * 1e3, 3))
-    # >1.6: depth-64 wastes the array -> packing could win; ~1.0: refuted
-    note("depth64_penalty", round(t64 / t128, 2))
+    note("score_dh128_same_out_ms", round(t128 * 1e3, 3))
+    # ~1.0: depth-64 wastes half the array; ~2.0: packing refuted
+    note("depth128_cost_ratio", round(t128 / t64, 2))
 
-    # w.V side: output width 64 vs 128 at equal MACs
-    w64 = jnp.asarray(rng.standard_normal((BH, T, T)), jnp.bfloat16)
+    # w.V side: same output (BH, T, 64); weights length 1500 both ways,
+    # emit width probed via N=64 vs N=128 at 2x MACs, same-epilogue
+    w_att = jnp.asarray(rng.standard_normal((BH, T, T)), jnp.bfloat16)
     v64 = jnp.asarray(rng.standard_normal((BH, T, 64)), jnp.bfloat16)
-    w128 = w64[: BH // 2]
-    v128 = jnp.asarray(rng.standard_normal((BH // 2, T, 128)), jnp.bfloat16)
-    f, pa = chain(bdot, w64, v64)
+    v128 = jnp.asarray(rng.standard_normal((BH, T, 128)), jnp.bfloat16)
+    f, pa = chain(bdot, w_att, v64)
     tw64 = _time(f, pa, v64, repeats=args.repeats) / n
     note("wv_n64_ms", round(tw64 * 1e3, 3))
-    f, pa = chain(bdot, w128, v128)
+    f, pa = chain(bdot, w_att, v128)
     tw128 = _time(f, pa, v128, repeats=args.repeats) / n
-    note("wv_n128_half_out_ms", round(tw128 * 1e3, 3))
-    note("width64_penalty", round(tw64 / tw128, 2))
+    note("wv_n128_2x_macs_ms", round(tw128 * 1e3, 3))
+    note("width128_cost_ratio", round(tw128 / tw64, 2))
 
     print(json.dumps(results))
     return 0
