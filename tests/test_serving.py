@@ -563,6 +563,35 @@ def test_engine_quality_fields_and_silence_gate(nano_params, rng):
         eng.stop()
 
 
+def test_adaptive_sync_round_sizing(nano_params):
+    """Rounds grow to 2x/4x base while every active slot is far from its
+    budget, shrink back as the nearest completion approaches, and fall
+    back to base with no resolved offsets (r4: each sync round costs a
+    tunnel RTT; fewer rounds while nobody can finish)."""
+    import numpy as np
+
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=8, apply_filters=False)
+    # no resolve yet -> base
+    assert eng._adaptive_steps() == 2
+    eng._slot_req[0] = Request(audio=np.zeros(800, np.float32))
+    eng._slot_req[2] = Request(audio=np.zeros(800, np.float32))
+    eng._slot_limit_h[:] = 24
+    eng._last_offs_h = np.array([5, 0, 5, 0])
+    # min remaining = 19; minus in-flight base (2) = 17 >= 4*2 -> 4x
+    assert eng._adaptive_steps() == 8
+    eng._last_offs_h = np.array([17, 0, 5, 0])
+    # slot 0 has 7 left; 7-2=5 >= 2*2 -> 2x
+    assert eng._adaptive_steps() == 4
+    eng._last_offs_h = np.array([21, 0, 5, 0])
+    # slot 0 nearly done -> base
+    assert eng._adaptive_steps() == 2
+    # done-marked slots (-1) don't constrain the round
+    eng._last_offs_h = np.array([-1, 0, 5, 0])
+    assert eng._adaptive_steps() == 8
+
+
 def test_engine_admission_chunking(nano_params, rng):
     """With active slots, the encode worker prepares at most admit_chunk
     newcomers per batch (bounding the device-level stall one admission
@@ -604,7 +633,8 @@ def test_decode_advances_during_newcomer_encode(nano_params, rng):
 
     eng = ContinuousBatchingEngine(
         nano_params, NANO, IdTok(), max_slots=2, compute_dtype=jnp.float32,
-        steps_per_sync=1, max_tokens=16, apply_filters=False)
+        steps_per_sync=1, max_tokens=16, apply_filters=False,
+        adaptive_sync=False)  # fixed round size: no mid-test jit compiles
     in_encode = _th.Event()
     release = _th.Event()
     calls = []

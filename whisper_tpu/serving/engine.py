@@ -212,12 +212,18 @@ class ContinuousBatchingEngine:
         max_beam_size: int = 8,
         length_penalty: Optional[float] = None,
         temperature_fallback: Optional[Sequence[float]] = None,
+        adaptive_sync: bool = True,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.dt = compute_dtype
         self.B = max_slots
         self.steps_per_sync = steps_per_sync
+        # adaptive sync: a round grows to 2x/4x steps_per_sync while EVERY
+        # active slot still needs that many tokens (each sync round costs a
+        # device-tunnel RTT; fewer rounds = less of it), and shrinks back
+        # to the base as any completion nears so the slot frees promptly
+        self.adaptive_sync = adaptive_sync
         self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max_slots) or (max_slots,)
         self.max_tokens = max_tokens
         self.apply_filters = apply_filters
@@ -382,6 +388,10 @@ class ContinuousBatchingEngine:
         # host-side slot bookkeeping
         self._slot_req: List[Optional[Request]] = [None] * B
         self._slot_prompt_len: List[int] = [0] * B
+        # host mirrors for adaptive sync sizing: per-slot token limit (set
+        # at scatter) and the last resolved offsets (one round stale)
+        self._slot_limit_h = np.full((B,), self.kv_ctx, np.int64)
+        self._last_offs_h: Optional[np.ndarray] = None
 
         self._queue: "queue.Queue[Request]" = queue.Queue(maxsize=max_queue)
         # FIFO admission order: requests drain queue -> _pending and are
@@ -1099,9 +1109,12 @@ class ContinuousBatchingEngine:
             batch.prompts, jnp.int32(k))
         self.kv = self._cache_cls(kv_k, kv_v)
 
-        for i, r in zip(slots, takers):
+        for j, (i, r) in enumerate(zip(slots, takers)):
             self._slot_req[i] = r
             self._slot_prompt_len[i] = P
+            self._slot_limit_h[i] = int(lim[j])
+            if self._last_offs_h is not None:
+                self._last_offs_h[i] = P + 1  # fresh slot starts post-prefill
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
 
     def _effective_language(self, req: Request) -> str:
@@ -1598,6 +1611,8 @@ class ContinuousBatchingEngine:
                 lock = ContinuousBatchingEngine._first_compile_lock
             sup = (self._suppress if self._suppress is not None
                    else self._empty_suppress)
+            n_steps = (self._adaptive_steps() if self.adaptive_sync
+                       else self.steps_per_sync)
             with lock:
                 (self.tokens, self.offsets, self.done, self.rs, self.fstate,
                  kv_k, kv_v) = \
@@ -1605,7 +1620,7 @@ class ContinuousBatchingEngine:
                                   self.active, self.done, self.limit, self.rs,
                                   self.fstate,
                                   self.kv[0], self.kv[1], self.cross,
-                                  self.steps_per_sync)
+                                  n_steps)
             self._step_warm = True
             self.kv = self._cache_cls(kv_k, kv_v)
             self._start_harvest_copy()
@@ -1619,6 +1634,7 @@ class ContinuousBatchingEngine:
             fstate_h = h[:, 3:5].view(np.float32)
             nsp_h = h[:, 5:6].view(np.float32)[:, 0]
             tokens_h = h[:, 6:]
+            self._last_offs_h = np.where(done_h, -1, offs_h)
             self._harvest_host(done_h, active_h, offs_h, tokens_h,
                                fstate_h, nsp_h)
         t2 = time.perf_counter()
@@ -1627,6 +1643,28 @@ class ContinuousBatchingEngine:
         self._admit_new()  # scattered now, stepped in round N+1
         self.stats.admit_seconds_total += time.perf_counter() - t2
         self.stats.busy_seconds_total += time.perf_counter() - t0
+
+    def _adaptive_steps(self) -> int:
+        """Round size for this tick: base, 2x or 4x steps_per_sync.
+
+        Uses the one-round-stale host offsets plus per-slot limits: when
+        the SMALLEST remaining budget among active slots still exceeds a
+        bigger round (after discounting the in-flight round), take it —
+        one sync RTT buys more decode. Overshoot costs only masked steps;
+        a distinct n_steps is one extra compile (3 programs total)."""
+        base = self.steps_per_sync
+        if self._last_offs_h is None:
+            return base
+        rem = [int(self._slot_limit_h[i]) - int(self._last_offs_h[i])
+               for i in range(self.B)
+               if self._slot_req[i] is not None and self._last_offs_h[i] >= 0]
+        if not rem:
+            return base
+        m = min(rem) - base  # offsets are one dispatched round behind
+        for mult in (4, 2):
+            if m >= base * mult:
+                return base * mult
+        return base
 
     def _run(self):
         while not self._stop.is_set():
