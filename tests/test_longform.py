@@ -128,6 +128,42 @@ def test_merge_transcripts_words_and_text_agree():
     assert "words" not in m2
 
 
+def test_merge_texts_property_near_duplicates(rng):
+    """Property test (VERDICT r3 #5): split a random transcript into
+    windows whose junctions re-hear the previous tail with small
+    perturbations; the merge must neither double the overlap nor lose
+    non-overlap content."""
+    import random
+
+    from whisper_tpu.longform import merge_texts
+
+    words = [f"w{i}{c}" for i, c in zip(range(40), "abcdefghij" * 4)]
+    pr = random.Random(7)
+    for trial in range(20):
+        n_cut = pr.randint(1, 3)
+        cuts = sorted(pr.sample(range(5, 35), n_cut))
+        overlap_w = pr.randint(2, 4)
+        parts = []
+        lo = 0
+        for c in cuts + [40]:
+            seg = words[max(lo - (overlap_w if lo else 0), 0): c]
+            text = " ".join(seg)
+            if lo and pr.random() < 0.7:
+                # perturb the re-heard overlap region: drop/add one char
+                k = pr.randrange(min(8, len(text)))
+                text = text[:k] + text[k + 1:] if pr.random() < 0.5 \
+                    else text[:k] + "x" + text[k:]
+            parts.append(text)
+            lo = c
+        merged = merge_texts(parts, "en")
+        toks = merged.split()
+        # every non-overlap word appears; nothing appears twice in a row
+        assert len(toks) <= 45, (trial, merged)
+        assert toks[-1].endswith(words[-1][-1]) or len(toks) >= 35
+        dbl = sum(1 for a, b in zip(toks, toks[1:]) if a == b)
+        assert dbl == 0, (trial, merged)
+
+
 def test_pipeline_longform_batches(monkeypatch, rng):
     """transcribe_batch flattens chunks and re-merges per utterance."""
     from whisper_tpu import pipeline as P

@@ -73,23 +73,20 @@ def _fuzzy_overlap(a: str, b: str, max_probe: int = 48) -> int:
     it ends near the end of ``a`` and starts near the start of ``b`` — so
     mid-string coincidences never cause over-trimming."""
     exact = _lcs_overlap(a, b, max_probe)
-    tail = a[-max_probe:]
-    head = b[:max_probe]
     import difflib
 
-    m = difflib.SequenceMatcher(None, tail, head,
-                                autojunk=False).find_longest_match(
-        0, len(tail), 0, len(head))
-    slack_a = len(tail) - (m.a + m.size)  # chars of a's tail after the match
-    if m.size >= 3 and slack_a <= 6:
-        if m.b <= 6:
-            return max(exact, m.b + m.size)
-        # the match starts deep into b: accept only when the part of b
-        # before it is itself a (perturbed) re-hearing of a's tail
-        apart = tail[max(0, m.a - m.b - 6): m.a]
-        bpart = head[: m.b]
-        if difflib.SequenceMatcher(None, apart, bpart).ratio() >= 0.6:
-            return max(exact, m.b + m.size)
+    limit = min(len(a), len(b), max_probe)
+    # junction-anchored sweep: the duplicated region is a SUFFIX of a
+    # re-heard as a PREFIX of b, so compare equal-length windows across
+    # the junction directly, largest first, and trim at the first window
+    # similar enough to be a re-hearing. (A single find_longest_match can
+    # lose the junction-anchored block to an equally-long match elsewhere
+    # in the probe window — caught by the merge property test.)
+    for j in range(limit, max(3, exact), -1):
+        r = difflib.SequenceMatcher(None, a[len(a) - j:], b[:j],
+                                    autojunk=False).ratio()
+        if r >= 0.72:
+            return j
     return exact
 
 
