@@ -53,6 +53,8 @@ def main() -> int:
                    help="int8 weights + dynamic-int8 encoder activations "
                         "(the flagship quant mode, quant_gate-passed)")
     p.add_argument("--steps_per_sync", type=int, default=8)
+    p.add_argument("--adaptive_sync", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--beam", type=int, default=1,
                    help=">1: all requests go through the engine's beam "
@@ -92,6 +94,7 @@ def main() -> int:
         max_slots=args.slots,
         compute_dtype=dt,
         steps_per_sync=args.steps_per_sync,
+        adaptive_sync=args.adaptive_sync,
         max_tokens=args.max_tokens,
         kv_quant=args.kv_quant,
         self_kv_quant=args.self_kv_quant,

@@ -82,7 +82,7 @@ def _run_dp(args) -> int:
             cmd += ["--length_penalty", str(args.length_penalty)]
         if args.timestamps:
             cmd.append("--timestamps")
-        for flag in ("kv_quant", "self_kv_quant", "w8a8"):
+        for flag in ("kv_quant", "self_kv_quant", "w8a8", "adaptive_sync"):
             cmd.append(f"--{flag}" if getattr(args, flag)
                        else f"--no-{flag}")
         env = dict(os.environ)
@@ -157,6 +157,11 @@ def main(argv=None) -> int:
                         "bucketed self-KV cache (default 224 = OpenAI "
                         "sample_len; 0 = unlimited full-context cache)")
     p.add_argument("--timestamps", action="store_true")
+    p.add_argument("--adaptive_sync", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="grow decode rounds to 2x/4x steps_per_sync while "
+                        "no active slot can finish within them (fewer "
+                        "device syncs, no wasted steps)")
     p.add_argument("--kv_quant", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="int8-quantize the cross-attention KV state")
@@ -263,6 +268,7 @@ def main(argv=None) -> int:
                                      if args.compression_ratio_threshold < 0
                                      else args.compression_ratio_threshold),
         admit_chunk=args.admit_chunk,
+        adaptive_sync=args.adaptive_sync,
         max_beam_size=args.max_beam_size,
         beam_batch_max=args.beam_batch_max,
         length_penalty=args.length_penalty,
