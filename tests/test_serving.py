@@ -563,6 +563,28 @@ def test_engine_quality_fields_and_silence_gate(nano_params, rng):
         eng.stop()
 
 
+def test_word_timestamps_survive_temperature_retry(nano_params, rng):
+    """A request re-decoded by the quality ladder resolves from the aux
+    worker — which must run the align pass too, not silently drop the
+    word timings (found by driving the live server with its default
+    ladder, round 4)."""
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, tok, max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False,
+        no_speech_threshold=None, logprob_threshold=-0.0001,
+        temperature_fallback=(0.2,)).start()
+    try:
+        res = eng.submit(Request(audio=_audio(rng, 0.5), language="en",
+                                 word_timestamps=True)).result(timeout=180)
+        assert res["attempts"] >= 2, res  # the ladder fired (random weights)
+        assert isinstance(res.get("words"), list), res
+    finally:
+        eng.stop()
+
+
 def test_adaptive_sync_round_sizing(nano_params):
     """Rounds grow to 2x/4x base while every active slot is far from its
     budget, shrink back as the nearest completion approaches, and fall

@@ -1326,6 +1326,13 @@ class ContinuousBatchingEngine:
         off = int(offs_h[slot])
         seq = np.concatenate(
             [tokens_h[slot, :off], [self.cfg.eot]]).astype(np.int32)
+        self._queue_align(req, result, cross_slice, seq, prompt_len, lang)
+
+    def _queue_align(self, req: Request, result: dict, cross_slice, seq,
+                     prompt_len: int, lang: str):
+        """Shared align-queue entry for the greedy harvest AND the aux
+        (beam/sampled/temperature-retry) path — a retried request must not
+        silently lose its word timestamps (found live, round 4)."""
         if self._align_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -1534,6 +1541,7 @@ class ContinuousBatchingEngine:
         lens = np.asarray(result.lengths)
         nsp_h = np.asarray(result.no_speech_prob)
         lp_h = np.asarray(result.avg_logprob)
+        toks_h = np.asarray(result.tokens)
         for i, r in enumerate(reqs):
             text = postprocess(texts[i], langs[i])
             text, comp, quality_ok, silenced = self._quality_gate(
@@ -1549,7 +1557,7 @@ class ContinuousBatchingEngine:
             self.stats.tokens_total += n_tok
             self.stats.audio_seconds_total += audio_s
             if not r.future.done():
-                r.future.set_result({
+                payload = {
                     "success": True,
                     "text": text,
                     "language": langs[i],
@@ -1564,7 +1572,21 @@ class ContinuousBatchingEngine:
                     "compression_ratio": comp,
                     "quality_ok": quality_ok,
                     "beam_size": K,
-                })
+                }
+                if r.word_timestamps and text and not silenced:
+                    # the aux path serves temperature-ladder retries and
+                    # explicit beam/sampled requests: align here too so a
+                    # retried request keeps its word timings
+                    seq = np.concatenate(
+                        [toks_h[i, : int(lens[i])],
+                         [self.cfg.eot]]).astype(np.int32)
+                    cross_slice = tuple(x[:, i : i + 1] for x in cross)
+                    self._queue_align(r, payload, cross_slice, seq, P,
+                                      langs[i])
+                else:
+                    if r.word_timestamps:
+                        payload["words"] = []
+                    r.future.set_result(payload)
 
     def _beam_run(self):
         while not self._stop.is_set():
