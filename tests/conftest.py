@@ -21,6 +21,14 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Tests spin up dozens of short-lived nano engines; the production-default
+# start()-time warmup (compile every bucket's programs up front) would
+# dominate suite wall-clock. Compile-on-demand still serializes through the
+# engine's compile lock; dedicated warmup tests opt back in explicitly.
+from whisper_tpu.serving.engine import ContinuousBatchingEngine as _CBE
+
+_CBE.WARM_START_DEFAULT = False
+
 
 @pytest.fixture(scope="session")
 def rng():

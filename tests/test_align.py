@@ -153,6 +153,56 @@ def test_median7_network_matches_numpy():
     np.testing.assert_allclose(got, want, atol=1e-7)
 
 
+def test_median_taps_generic_width_matches_numpy():
+    """Non-7 tap counts take the sorted-stack path (the medfilt_width
+    parameter must work for any odd width, not trap at trace time —
+    ADVICE r4)."""
+    from whisper_tpu.align import _median7_time
+
+    rng = np.random.default_rng(11)
+    for w in (1, 3, 5, 9):
+        arrs = [rng.standard_normal((2, 9)).astype(np.float32)
+                for _ in range(w)]
+        got = np.asarray(_median7_time([jnp.asarray(a) for a in arrs]))
+        want = np.median(np.stack(arrs), axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_alignment_matrix_nondefault_width(nano_setup):
+    """alignment_matrix with medfilt_width=5 runs (no trace-time crash)
+    and matches the host reference at the same width; even widths are
+    rejected with a clear error."""
+    from whisper_tpu.align import alignment_matrix, median_filter
+
+    params, cross_kv = nano_setup
+    B, S, Ta = 2, 8, NANO.n_audio_ctx
+    rng = np.random.default_rng(23)
+    tokens = np.full((B, S), NANO.eot, np.int32)
+    for b in range(B):
+        tokens[b] = rng.integers(0, 200, S)
+    row_mask = np.zeros((B, S), bool)
+    row_mask[:, 2:] = True
+    hm = alignment_head_mask(NANO)
+    got, _ = alignment_matrix(
+        params, jnp.asarray(tokens), cross_kv,
+        jnp.asarray(hm, jnp.float32), jnp.asarray(row_mask),
+        jnp.asarray([Ta, Ta], jnp.int32), NANO, medfilt_width=5)
+    got = np.asarray(got, np.float32)
+    attn, _ = alignment_cross_attn(params, jnp.asarray(tokens), cross_kv,
+                                   NANO)
+    for b in range(B):
+        sel = np.asarray(attn, np.float32)[:, b][hm][:, 2:, :]
+        mean = sel.mean(axis=-2, keepdims=True)
+        std = sel.std(axis=-2, keepdims=True) + 1e-9
+        want = median_filter((sel - mean) / std, 5).mean(axis=0)
+        np.testing.assert_allclose(got[b, 2:], want, rtol=2e-3, atol=2e-3)
+    with pytest.raises(ValueError, match="odd"):
+        alignment_matrix(
+            params, jnp.asarray(tokens), cross_kv,
+            jnp.asarray(hm, jnp.float32), jnp.asarray(row_mask),
+            jnp.asarray([Ta, Ta], jnp.int32), NANO, medfilt_width=4)
+
+
 def test_alignment_matrix_matches_host_reference(nano_setup):
     """Device-reduced matrix (head mask + standardize + median filter +
     head-mean on device) == the host post-processing of the full attention

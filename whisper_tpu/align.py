@@ -119,7 +119,13 @@ def _median7_time(arrs: List[jnp.ndarray]) -> jnp.ndarray:
     into one kernel over 7 gathered taps — nothing materializes at 7x the
     map size (the jnp.median(stack) route would)."""
     a = list(arrs)
-    assert len(a) == 7
+    if len(a) != 7:
+        # generic odd-width fallback (the parameter is part of the public
+        # signature; a non-7 width must filter, not crash at trace time):
+        # sort the tap stack and take the middle. Costs one materialized
+        # stack at width x map size — fine for the rare non-default width.
+        stack = jnp.stack(a, axis=-1)
+        return jnp.sort(stack, axis=-1)[..., len(a) // 2]
 
     def mm(i, j):
         lo = jnp.minimum(a[i], a[j])
@@ -176,8 +182,12 @@ def alignment_matrix(
 
     Under tensor parallelism the heads axis of cross_kv/params is sharded;
     every per-head op partitions cleanly and the head-mean is the single
-    cross-shard reduction, inserted by XLA.
+    cross-shard reduction, inserted by XLA. ``medfilt_width`` must be odd
+    (7 = whisper's default rides the sorting network; other odd widths
+    take the generic sorted-stack path).
     """
+    if medfilt_width < 1 or medfilt_width % 2 == 0:
+        raise ValueError(f"medfilt_width must be odd >= 1, got {medfilt_width}")
     dec = params["decoder"]
     dt = compute_dtype
     B, S = tokens.shape

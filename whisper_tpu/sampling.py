@@ -63,8 +63,13 @@ class RuleState(NamedTuple):
 
     @classmethod
     def create(cls, n: int) -> "RuleState":
-        z = jnp.zeros((n,), jnp.int32)
-        return cls(z - 1, z - 1, z, z)
+        # four distinct buffers: max_ts/n_sampled sharing one array would
+        # alias two donated arguments when a pristine state is fed straight
+        # to the step program (engine warmup does exactly that)
+        return cls(jnp.full((n,), -1, jnp.int32),
+                   jnp.full((n,), -1, jnp.int32),
+                   jnp.zeros((n,), jnp.int32),
+                   jnp.zeros((n,), jnp.int32))
 
     def advance(self, sampled: jnp.ndarray, timestamp_begin: int) -> "RuleState":
         sampled = sampled.astype(jnp.int32)

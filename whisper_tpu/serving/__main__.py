@@ -82,7 +82,8 @@ def _run_dp(args) -> int:
             cmd += ["--length_penalty", str(args.length_penalty)]
         if args.timestamps:
             cmd.append("--timestamps")
-        for flag in ("kv_quant", "self_kv_quant", "w8a8", "adaptive_sync"):
+        for flag in ("kv_quant", "self_kv_quant", "w8a8", "adaptive_sync",
+                     "warm_start"):
             cmd.append(f"--{flag}" if getattr(args, flag)
                        else f"--no-{flag}")
         env = dict(os.environ)
@@ -181,7 +182,10 @@ def main(argv=None) -> int:
     p.add_argument("--backends", default=None,
                    help="router-only mode: comma-separated worker URLs "
                         "(one engine per host for multi-host serving)")
-    p.add_argument("--worker_startup_timeout", type=float, default=300.0)
+    # must exceed a worker's measured cold start (params+quantize+upload+
+    # warmup can reach ~7 min for turbo through the device tunnel; see
+    # BENCH_NOTES startup section) or --dp fleets kill healthy workers
+    p.add_argument("--worker_startup_timeout", type=float, default=900.0)
     p.add_argument("--no_router_split", action="store_true",
                    help="disable router-level >30s window fan-out "
                         "(windows then decode on one backend)")
@@ -210,6 +214,11 @@ def main(argv=None) -> int:
     p.add_argument("--temperature_fallback", default="0.2,0.4,0.6,0.8,1.0",
                    help="comma-separated retry-ladder temperatures for "
                         "low-quality results ('' disables)")
+    p.add_argument("--warm_start", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="compile every decode/admission program at startup "
+                        "so worker threads never compile under traffic "
+                        "(execute-only; required for --tp serving)")
     args = p.parse_args(argv)
 
     if args.backends:
@@ -229,11 +238,19 @@ def main(argv=None) -> int:
     from .engine import ContinuousBatchingEngine
     from .server import make_server
 
+    # cold-start phase breakdown (VERDICT r4 #7): the r4 bench saw 395 s
+    # "params ready" with no attribution — log load/quantize/place/warm
+    # separately so a slow startup names its phase
+    import time as _time
+
+    _t = _time.perf_counter()
     if args.checkpoint:
         params, cfg = load_checkpoint(args.checkpoint, size=args.model_type)
     else:
         cfg = get_config(args.model_type)
         params = init_params(cfg)
+    t_load = _time.perf_counter() - _t
+    _t = _time.perf_counter()
     if args.w8a8:
         import os as _os
 
@@ -241,6 +258,7 @@ def main(argv=None) -> int:
 
         _os.environ["WHISPER_TPU_W8A8"] = "1"
         params = quantize_params(params)
+    t_quant = _time.perf_counter() - _t
     tok = get_tokenizer(cfg.is_multilingual, num_languages=cfg.num_languages)
 
     mesh = None
@@ -249,6 +267,7 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(1, args.tp)
 
+    _t = _time.perf_counter()
     engine = ContinuousBatchingEngine(
         params, cfg, tok,
         max_slots=args.slots,
@@ -274,11 +293,20 @@ def main(argv=None) -> int:
         length_penalty=args.length_penalty,
         temperature_fallback=tuple(
             float(x) for x in args.temperature_fallback.split(",") if x),
-    ).start()
+        warm_start=args.warm_start,
+    )
+    t_init = _time.perf_counter() - _t
+    _t = _time.perf_counter()
+    engine.start()
+    t_start = _time.perf_counter() - _t
 
     srv = make_server(engine, args.host, args.port, request_timeout_s=args.timeout)
     print(f"whisper_tpu server on {args.host}:{args.port} "
-          f"(model={cfg.name}, slots={args.slots})", file=sys.stderr)
+          f"(model={cfg.name}, slots={args.slots}) startup: "
+          f"load {t_load:.1f}s quantize {t_quant:.1f}s "
+          f"place+state {t_init:.1f}s "
+          f"warm {engine.stats.warmup_seconds:.1f}s "
+          f"(start {t_start:.1f}s)", file=sys.stderr)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

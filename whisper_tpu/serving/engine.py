@@ -130,6 +130,8 @@ class EngineStats:
     encode_seconds_total: float = 0.0
     encode_batches_total: int = 0
     prepared_depth: int = 0       # requests encoded+prefilled awaiting a slot
+    # start()-time compile warm (round 5: workers are execute-only after it)
+    warmup_seconds: float = 0.0
 
     def snapshot(self) -> dict:
         d = dict(self.__dict__)
@@ -161,14 +163,6 @@ class _PreparedBatch:
     consumed: int = 0              # rows already scattered into slots
 
 
-class _NullCtx:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
-
-
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -177,15 +171,24 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 class ContinuousBatchingEngine:
-    """Slot-based continuous batching over one model."""
+    """Slot-based continuous batching over one model.
 
-    # Serialize FIRST-call jit compiles across engine threads: the decode
-    # thread's step program and the encode worker's prefill program can
-    # otherwise trace+compile concurrently, which the partitioned CPU
-    # backend intermittently mishandles (executable called with the wrong
-    # buffer count; observed flakily in the round-4 multichip dryrun).
-    # After the warm call each program is a cache hit and runs lock-free.
-    _first_compile_lock = threading.Lock()
+    Compilation discipline (round 5): every jitted program the engine
+    calls goes through ``_traced_call`` — the first call for a given
+    (program, shape-bucket) key serializes under one per-engine compile
+    lock; every later call is a lock-free cache hit. ``warmup()`` (run by
+    ``start()`` unless ``warm_start=False``) pre-executes the decode-
+    and admission-path programs for every reachable bucket, so in
+    production the worker threads are execute-only by construction — no
+    thread ever traces or compiles while another dispatches device work
+    (required for multi-threaded serving over SPMD-partitioned state).
+    """
+
+    # start()-time warmup default when the constructor's warm_start is
+    # None. Production entry points inherit True; the test suite flips
+    # this off once in conftest so its dozens of short-lived nano engines
+    # compile only the programs they actually touch.
+    WARM_START_DEFAULT = True
 
     def __init__(
         self,
@@ -213,6 +216,7 @@ class ContinuousBatchingEngine:
         length_penalty: Optional[float] = None,
         temperature_fallback: Optional[Sequence[float]] = None,
         adaptive_sync: bool = True,
+        warm_start: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -260,14 +264,11 @@ class ContinuousBatchingEngine:
         # library users/tests get deterministic single-pass results.
         self.temperature_fallback = tuple(temperature_fallback or ())
 
-        # Eagerly import every module the worker threads otherwise lazily
-        # first-import (align on the align pool, beam/decode on the beam
-        # worker, model.quantize_cross_kv at encode-trace time, longform on
-        # HTTP handler threads): a module executing its top level on one
-        # worker thread while another engine thread traces a jitted program
-        # intermittently corrupts the compiled call — the r4 multichip
-        # dryrun reproduced a partitioned step executable invoked with the
-        # wrong buffer arity until these imports moved to the main thread.
+        self.warm_start = (self.WARM_START_DEFAULT if warm_start is None
+                           else warm_start)
+        # Import every module the worker threads will use up front, on the
+        # constructing thread — workers then never pay (or interleave)
+        # first-import side effects with device dispatch.
         from .. import (  # noqa: F401
             align as _align_mod,
             beam as _beam_mod,
@@ -392,6 +393,18 @@ class ContinuousBatchingEngine:
         # at scatter) and the last resolved offsets (one round stale)
         self._slot_limit_h = np.full((B,), self.kv_ctx, np.int64)
         self._last_offs_h: Optional[np.ndarray] = None
+        # per-slot admission generation: bumped every _scatter_rows. The
+        # pipelined harvest resolves a buffer packed ONE TICK AGO — if the
+        # slot was freed and re-admitted in between, that buffer's row is
+        # the PREVIOUS request's state, and resolving it against the new
+        # _slot_req entry would deliver the old transcript to the new
+        # caller (ADVICE r4 high). Each packed buffer records the vector
+        # at pack time; resolve skips any slot whose generation moved.
+        self._slot_gen = np.zeros((B,), np.int64)
+        # n_steps actually dispatched for the in-flight round (adaptive
+        # sync may have sized it 2x/4x base; budget math must subtract the
+        # real size, not base — ADVICE r4 medium)
+        self._last_round_steps = steps_per_sync
 
         self._queue: "queue.Queue[Request]" = queue.Queue(maxsize=max_queue)
         # FIFO admission order: requests drain queue -> _pending and are
@@ -414,9 +427,11 @@ class ContinuousBatchingEngine:
         # resolved at the START of the next tick so the transfer overlaps
         # the device's execution of the current round
         self._inflight_harvest = None
-        # first-call compile serialization (see _first_compile_lock)
-        self._step_warm = False
-        self._prepare_warm = False
+        # compile discipline (class docstring): one lock serializes every
+        # first-call trace/compile; _warm_keys marks programs already
+        # compiled so the hot paths run lock-free
+        self._compile_lock = threading.Lock()
+        self._warm_keys: set = set()
         self.stats = EngineStats()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -615,7 +630,85 @@ class ContinuousBatchingEngine:
         return self.transcribe(audio, language=language, task=task,
                                timeout=timeout, beam_size=beam_size)
 
-    def start(self):
+    def _traced_call(self, key, fn, *args, **kwargs):
+        """Call a jitted program; serialize its FIRST trace/compile.
+
+        Keys are (program, shape-bucket) tuples. Warm keys dispatch
+        directly (lock-free); cold keys compile under the engine's one
+        compile lock, so no two threads ever trace concurrently and —
+        after warmup() — the production threads never compile at all."""
+        if key in self._warm_keys:
+            return fn(*args, **kwargs)
+        with self._compile_lock:
+            out = fn(*args, **kwargs)
+            self._warm_keys.add(key)
+        return out
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None):
+        """Compile every decode- and admission-path program up front.
+
+        Runs on the calling thread, before worker threads accept traffic
+        (start() invokes it unless warm_start=False): the step program at
+        each adaptive round size, the harvest pack, and encode + language
+        detect + prefill + admit for every reachable prefill bucket. The
+        step/admit warms execute against the REAL slot state — with no
+        active slots every update is masked or scatter-dropped, so the
+        state is exactly preserved (verified by test_warmup_*).
+
+        Aux-path programs (beam at a caller-chosen K, align at a harvest-
+        dependent S bucket) still compile lazily under the compile lock —
+        they run on their own threads and their key space is unbounded."""
+        t0 = time.perf_counter()
+        sup = (self._suppress if self._suppress is not None
+               else self._empty_suppress)
+        variants = [self.steps_per_sync]
+        if self.adaptive_sync:
+            variants += [2 * self.steps_per_sync, 4 * self.steps_per_sync]
+        for n in variants:
+            (self.tokens, self.offsets, self.done, self.rs, self.fstate,
+             kv_k, kv_v) = self._traced_call(
+                ("step", n), self._step_fn, self.params, sup, self.tokens,
+                self.offsets, self.active, self.done, self.limit, self.rs,
+                self.fstate, self.kv[0], self.kv[1], self.cross, n)
+            self.kv = self._cache_cls(kv_k, kv_v)
+        self._traced_call(("pack",), self._pack_harvest_fn, self.tokens,
+                          self.offsets, self.active, self.done, self.fstate,
+                          self.nsp)
+        for b in (buckets or self.prefill_buckets):
+            dummies = [Request(audio=np.zeros(1600, np.float32),
+                               language=("auto" if i % 2 == 0 and
+                                         self.cfg.is_multilingual else "en"))
+                       for i in range(b)]
+            batch = self._prepare_batch(dummies)
+            bucket = int(batch.first.shape[0])
+            # admit with n_valid=0: every scatter drops, so slot state is
+            # semantically untouched, but the admit program for this
+            # bucket compiles. The state arrays are donated — reassign
+            # the returned (identical) buffers, as _scatter_rows does.
+            slot_idx = np.full((bucket,), self.B, np.int32)
+            src_rows = np.zeros((bucket,), np.int32)
+            P = batch.prompt_len
+            (self.tokens, self.offsets, self.active, self.done, self.limit,
+             self.rs, self.fstate, self.nsp, kv_k, kv_v,
+             self.cross) = self._traced_call(
+                ("admit", bucket), self._admit_fn,
+                jnp.asarray(slot_idx), jnp.asarray(src_rows),
+                batch.kvk, batch.kvv, batch.cross,
+                batch.first, batch.first_lp, batch.nsp,
+                jnp.full((bucket,), P, jnp.int32),
+                jnp.full((bucket,), self.kv_ctx, jnp.int32),
+                self.tokens, self.offsets, self.active, self.done,
+                self.limit, self.rs, self.fstate, self.nsp,
+                self.kv[0], self.kv[1], self.cross,
+                batch.prompts, jnp.int32(0))
+            self.kv = self._cache_cls(kv_k, kv_v)
+        jax.block_until_ready(self.tokens)
+        self.stats.warmup_seconds = time.perf_counter() - t0
+        return self
+
+    def start(self, warm: Optional[bool] = None):
+        if self.warm_start if warm is None else warm:
+            self.warmup()
         self._thread = threading.Thread(target=self._run, daemon=True, name="cb-engine")
         self._thread.start()
         self._encode_thread = threading.Thread(
@@ -916,12 +1009,7 @@ class ContinuousBatchingEngine:
             return False
         t0 = time.perf_counter()
         try:
-            if self._prepare_warm:
-                batch = self._prepare_batch(newcomers)
-            else:
-                with ContinuousBatchingEngine._first_compile_lock:
-                    batch = self._prepare_batch(newcomers)
-                self._prepare_warm = True
+            batch = self._prepare_batch(newcomers)
         except Exception as e:  # noqa: BLE001 — fail these requests, keep serving
             for r in newcomers:
                 if not r.future.done():
@@ -965,9 +1053,16 @@ class ContinuousBatchingEngine:
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
 
     def _prepare_batch(self, newcomers: List[Request]) -> _PreparedBatch:
-        """Encode worker body: mel prep + encoder + prefill for a bucketed
+        """Encode worker entry: mel prep + encoder + prefill for a bucketed
         batch of newcomers, slot-agnostic. Pure device dispatch — no host
-        sync — so greedy slots keep stepping while this runs."""
+        sync — so greedy slots keep stepping while this runs. First call
+        per bucket compiles under the engine compile lock (warmup() does
+        this for every bucket before the threads start)."""
+        bucket = _bucket(len(newcomers), self.prefill_buckets)
+        return self._traced_call(("prepare", bucket),
+                                 self._prepare_batch_impl, newcomers)
+
+    def _prepare_batch_impl(self, newcomers: List[Request]) -> _PreparedBatch:
         n = len(newcomers)
         bucket = _bucket(n, self.prefill_buckets)
         mel = np.zeros((bucket, N_SAMPLES), np.float32)
@@ -1098,7 +1193,8 @@ class ContinuousBatchingEngine:
                 lim[j] = min(lim[j], P + budget)
 
         (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
-         self.fstate, self.nsp, kv_k, kv_v, self.cross) = self._admit_fn(
+         self.fstate, self.nsp, kv_k, kv_v, self.cross) = self._traced_call(
+            ("admit", bucket), self._admit_fn,
             jnp.asarray(slot_idx), jnp.asarray(src_rows),
             batch.kvk, batch.kvv, batch.cross,
             batch.first, batch.first_lp, batch.nsp,
@@ -1113,6 +1209,7 @@ class ContinuousBatchingEngine:
             self._slot_req[i] = r
             self._slot_prompt_len[i] = P
             self._slot_limit_h[i] = int(lim[j])
+            self._slot_gen[i] += 1  # in-flight packed buffers go stale here
             if self._last_offs_h is not None:
                 self._last_offs_h[i] = P + 1  # fresh slot starts post-prefill
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
@@ -1188,10 +1285,14 @@ class ContinuousBatchingEngine:
             return False  # aux queue full: resolve with what we have
         return True
 
-    def _emit_partials(self, tokens_h, offs_h, done_h):
+    def _emit_partials(self, tokens_h, offs_h, done_h, fresh):
         for i in range(self.B):
             req = self._slot_req[i]
             if req is None or req.on_partial is None or done_h[i]:
+                continue
+            if not fresh[i]:
+                # slot re-admitted after this buffer was packed: its rows
+                # belong to the previous request (ADVICE r4 high)
                 continue
             P = self._slot_prompt_len[i]
             ids = tokens_h[i, P: offs_h[i]]
@@ -1228,16 +1329,21 @@ class ContinuousBatchingEngine:
         transfer (a full tunnel RTT on axon) overlaps the device's execution
         of the round just dispatched — the r3 design blocked here instead,
         and harvest was ~97% of ragged-traffic wall."""
-        buf = self._pack_harvest_fn(self.tokens, self.offsets, self.active,
-                                    self.done, self.fstate, self.nsp)
+        buf = self._traced_call(("pack",), self._pack_harvest_fn,
+                                self.tokens, self.offsets, self.active,
+                                self.done, self.fstate, self.nsp)
         try:
             buf.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass  # backend without async copies: device_get still works
-        self._inflight_harvest = buf
+        # snapshot the admission generations: the resolve next tick must
+        # ignore any slot re-admitted after this pack (see _slot_gen)
+        self._inflight_harvest = (buf, self._slot_gen.copy())
 
     def _harvest_host(self, done_h, active_h, offs_h, tokens_h, fstate_h,
-                      nsp_h):
+                      nsp_h, fresh=None):
+        if fresh is None:
+            fresh = np.ones((self.B,), bool)
         streaming = any(r is not None and r.on_partial is not None
                         for r in self._slot_req)
         ready = [i for i in range(self.B)
@@ -1245,7 +1351,7 @@ class ContinuousBatchingEngine:
         if not ready and not streaming:
             return
         if streaming:
-            self._emit_partials(tokens_h, offs_h, done_h)
+            self._emit_partials(tokens_h, offs_h, done_h, fresh)
         if not ready:
             return
         for i in ready:
@@ -1372,7 +1478,8 @@ class ContinuousBatchingEngine:
             # device-reduced pass: only the (1, S, Ta) head-mean matrix and
             # the per-token logprobs cross the tunnel (~2.7 MB at turbo),
             # not the full (L, 1, H, S, Ta) attention stack (~215 MB, r3)
-            matrix, tlp = alignment_matrix(
+            matrix, tlp = self._traced_call(
+                ("align", S), alignment_matrix,
                 self.params, jnp.asarray(toks), fp, self._align_mask,
                 row_mask, jnp.asarray([frames], jnp.int32),
                 self.cfg, self.dt)
@@ -1465,16 +1572,30 @@ class ContinuousBatchingEngine:
         for 'auto' rows, then either beam.beam_search_kv (t=0, K>1) or the
         sampled decode.greedy_decode_kv (t>0: explicit sampling requests and
         the quality ladder's retries) — one compiled program either way;
-        results pass the same quality gates as greedy slots."""
+        results pass the same quality gates as greedy slots.
+
+        The aux key space (bucket, K, temperature) is caller-chosen, so it
+        can't be pre-warmed exhaustively; first use of a combination
+        compiles under the engine compile lock (the decode/encode hot
+        paths stay lock-free — they were warmed at start())."""
+        temp = reqs[0].temperature
+        K = reqs[0].beam_size if temp == 0 else 1
+        # always include beam_batch_max so the bucket covers any batch the
+        # collector can produce (an engine configured with one small prefill
+        # bucket must not overflow here)
+        buckets = sorted({b for b in self.prefill_buckets
+                          if b <= self.beam_batch_max} | {self.beam_batch_max})
+        bucket = _bucket(len(reqs), buckets)
+        return self._traced_call(("aux", bucket, K, round(float(temp), 6)),
+                                 self._run_beam_batch_impl, reqs)
+
+    def _run_beam_batch_impl(self, reqs: List[Request]):
         from ..beam import beam_search_kv
         from ..tokenizer import LANGUAGES
 
         temp = reqs[0].temperature
         K = reqs[0].beam_size if temp == 0 else 1
         n = len(reqs)
-        # always include beam_batch_max so the bucket covers any batch the
-        # collector can produce (an engine configured with one small prefill
-        # bucket must not overflow here)
         buckets = sorted({b for b in self.prefill_buckets
                           if b <= self.beam_batch_max} | {self.beam_batch_max})
         bucket = _bucket(n, buckets)
@@ -1627,38 +1748,43 @@ class ContinuousBatchingEngine:
         if any(r is not None for r in self._slot_req):
             # dispatch round N FIRST: harvested-but-done slots are masked on
             # device and the step cost is per-pool, so nothing is wasted
-            if self._step_warm:
-                lock = _NullCtx()
-            else:
-                lock = ContinuousBatchingEngine._first_compile_lock
             sup = (self._suppress if self._suppress is not None
                    else self._empty_suppress)
             n_steps = (self._adaptive_steps() if self.adaptive_sync
                        else self.steps_per_sync)
-            with lock:
-                (self.tokens, self.offsets, self.done, self.rs, self.fstate,
-                 kv_k, kv_v) = \
-                    self._step_fn(self.params, sup, self.tokens, self.offsets,
-                                  self.active, self.done, self.limit, self.rs,
-                                  self.fstate,
-                                  self.kv[0], self.kv[1], self.cross,
-                                  n_steps)
-            self._step_warm = True
+            self._last_round_steps = n_steps
+            (self.tokens, self.offsets, self.done, self.rs, self.fstate,
+             kv_k, kv_v) = self._traced_call(
+                ("step", n_steps), self._step_fn, self.params, sup,
+                self.tokens, self.offsets, self.active, self.done,
+                self.limit, self.rs, self.fstate,
+                self.kv[0], self.kv[1], self.cross, n_steps)
             self.kv = self._cache_cls(kv_k, kv_v)
             self._start_harvest_copy()
         t1 = time.perf_counter()
         self.stats.step_seconds_total += t1 - t0
         if prev is not None:
-            h = np.asarray(jax.device_get(prev))
+            prev_buf, prev_gen = prev
+            h = np.asarray(jax.device_get(prev_buf))
             offs_h = h[:, 0]
             active_h = h[:, 1] > 0
             done_h = h[:, 2] > 0
             fstate_h = h[:, 3:5].view(np.float32)
             nsp_h = h[:, 5:6].view(np.float32)[:, 0]
             tokens_h = h[:, 6:]
-            self._last_offs_h = np.where(done_h, -1, offs_h)
-            self._harvest_host(done_h, active_h, offs_h, tokens_h,
-                               fstate_h, nsp_h)
+            # a slot re-admitted since the pack carries the PREVIOUS
+            # request's rows in this buffer: don't harvest it, don't stream
+            # its stale tokens, and don't let its stale offset feed the
+            # adaptive-round sizing
+            fresh = prev_gen == self._slot_gen
+            offs_resolved = np.where(done_h, -1, offs_h)
+            if self._last_offs_h is None:
+                self._last_offs_h = np.where(fresh, offs_resolved, -1)
+            else:
+                self._last_offs_h = np.where(fresh, offs_resolved,
+                                             self._last_offs_h)
+            self._harvest_host(done_h & fresh, active_h, offs_h, tokens_h,
+                               fstate_h, nsp_h, fresh)
         t2 = time.perf_counter()
         self.stats.harvest_seconds_total += t2 - t1
         self._expire_slots()
@@ -1682,7 +1808,11 @@ class ContinuousBatchingEngine:
                if self._slot_req[i] is not None and self._last_offs_h[i] >= 0]
         if not rem:
             return base
-        m = min(rem) - base  # offsets are one dispatched round behind
+        # offsets are one dispatched round behind: discount the size that
+        # round was ACTUALLY dispatched at (2x/4x base under adaptive
+        # sync), not base — ADVICE r4: a near-limit slot otherwise keeps
+        # drawing oversized rounds, delaying completion by up to a round
+        m = min(rem) - self._last_round_steps
         for mult in (4, 2):
             if m >= base * mult:
                 return base * mult

@@ -472,6 +472,13 @@ class RouterHandler(BaseHTTPRequestHandler):
         try:
             auto = lang in (None, "", "auto")
             launch(0, "auto" if auto else lang)
+            if not auto:
+                # language is explicit: no detection hand-off needed, so
+                # every window decodes fleet-parallel from the start (only
+                # the partial-relay ORDER stays sequential) — matching the
+                # non-streaming split's parallelism (ADVICE r4)
+                for k in range(1, n):
+                    launch(k, lang)
             finals: List[Optional[dict]] = [None] * n
             for j in range(n):
                 while True:
@@ -490,12 +497,11 @@ class RouterHandler(BaseHTTPRequestHandler):
                         continue
                     finals[j] = payload
                     break
-                if j == 0:
-                    if auto:
-                        lang = finals[0].get("language") or "en"
-                        auto = False
-                    # window 0 resolved the language: fan the rest out
-                    # fleet-parallel with the shared code
+                if j == 0 and auto:
+                    # window 0 resolved the detected language: fan the
+                    # remaining windows out fleet-parallel with it
+                    lang = finals[0].get("language") or "en"
+                    auto = False
                     for k in range(1, n):
                         launch(k, lang)
             with router._lock:
@@ -519,6 +525,16 @@ class RouterHandler(BaseHTTPRequestHandler):
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
             pass  # client went away mid-stream
+        except Exception as e:  # noqa: BLE001 — headers are already sent:
+            # without this the handler would exit mid-chunked-stream,
+            # leaving the client a truncated NDJSON body with no failure
+            # record (ADVICE r4). Best-effort error chunk + terminator.
+            try:
+                self._chunk({"success": False,
+                             "error": f"{type(e).__name__}: {e}"})
+                self.wfile.write(b"0\r\n\r\n")
+            except OSError:
+                pass
         return True
 
     def do_POST(self):
