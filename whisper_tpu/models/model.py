@@ -675,6 +675,7 @@ def decoder_step_multipos(
     cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
     cfg: WhisperConfig,
     compute_dtype=jnp.float32,
+    pads: Optional[jnp.ndarray] = None,  # (B,) int32 masked left-pad length
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step where every stream sits at its own position.
 
@@ -682,6 +683,11 @@ def decoder_step_multipos(
     times decode together in a single program (the reference serializes whole
     requests on the NPU instead — python/whisper_svr.py:87-88). Returns
     (logits (B, n_vocab) fp32, updated kv).
+
+    ``pads`` extends the decoder_forward left-pad convention to the step:
+    stream b's prompt was right-aligned with ``pads[b]`` masked positions in
+    front (initial_prompt context), which stay excluded from self-attention
+    and are skipped in positional indexing.
     """
     dec = params["decoder"]
     dt = compute_dtype
@@ -691,11 +697,17 @@ def decoder_step_multipos(
     barange = jnp.arange(B)
 
     tok_emb = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dt)     # (B, D)
-    pos = jnp.take(dec["pos_emb"], offsets, axis=0).astype(dt)        # (B, D)
+    pos_idx = (offsets if pads is None
+               else jnp.clip(offsets - pads, 0, dec["pos_emb"].shape[0] - 1))
+    pos = jnp.take(dec["pos_emb"], pos_idx, axis=0).astype(dt)        # (B, D)
     x = (tok_emb + pos)[:, None, :]                                   # (B, 1, D)
 
     key_pos = jnp.arange(T)[None, :]
     vis = (key_pos <= offsets[:, None])[:, None, None, :]             # (B,1,1,T)
+    if pads is not None:
+        # padded prefix positions are never valid keys
+        vis = jnp.logical_and(vis,
+                              (key_pos >= pads[:, None])[:, None, None, :])
 
     kv_quant = len(cross_kv) == 4
     self_quant = isinstance(kv, QKVCache)

@@ -21,12 +21,25 @@ def transcribe_file(
     use_multipart: bool = True,
     beam: int = 1,
     word_timestamps: bool = False,
+    initial_prompt: str = "",
+    condition_on_previous: bool = False,
 ) -> dict:
     url = f"http://{host}:{port}/asr"
     if use_multipart:
         boundary = "whispertpuclient"
         with open(wav_path, "rb") as f:
             wav = f.read()
+        extra = ""
+        if initial_prompt:
+            extra += (
+                f"--{boundary}\r\n"
+                'Content-Disposition: form-data; name="initial_prompt"\r\n\r\n'
+                f"{initial_prompt}\r\n")
+        if condition_on_previous:
+            extra += (
+                f"--{boundary}\r\n"
+                'Content-Disposition: form-data; '
+                'name="condition_on_previous"\r\n\r\n1\r\n')
         body = (
             f"--{boundary}\r\n"
             'Content-Disposition: form-data; name="language"\r\n\r\n'
@@ -40,6 +53,7 @@ def transcribe_file(
             f"--{boundary}\r\n"
             'Content-Disposition: form-data; name="word_timestamps"\r\n\r\n'
             f"{int(word_timestamps)}\r\n"
+            f"{extra}"
             f"--{boundary}\r\n"
             'Content-Disposition: form-data; name="wav"; filename="audio.wav"\r\n'
             "Content-Type: audio/wav\r\n\r\n"
@@ -51,12 +65,16 @@ def transcribe_file(
         from ..ops.audio import load_audio
 
         pcm = load_audio(wav_path).astype("<f4").tobytes()
-        req = urllib.request.Request(
-            url, data=pcm,
-            headers={"Content-Type": "application/octet-stream",
-                     "X-Language": language, "X-Task": task,
-                     "X-Beam": str(beam),
-                     "X-Word-Timestamps": str(int(word_timestamps))})
+        headers = {"Content-Type": "application/octet-stream",
+                   "X-Language": language, "X-Task": task,
+                   "X-Beam": str(beam),
+                   "X-Word-Timestamps": str(int(word_timestamps))}
+        if initial_prompt:
+            headers["X-Initial-Prompt"] = (
+                initial_prompt.encode("utf-8").decode("latin-1"))
+        if condition_on_previous:
+            headers["X-Condition-On-Previous"] = "1"
+        req = urllib.request.Request(url, data=pcm, headers=headers)
     with urllib.request.urlopen(req, timeout=timeout) as r:
         return json.load(r)
 
@@ -78,11 +96,19 @@ def main(argv=None) -> int:
                    help="beam size (1 = greedy slots; >1 = beam worker)")
     p.add_argument("--word_timestamps", action="store_true",
                    help="request per-word timings (align.py)")
+    p.add_argument("--initial_prompt", default="",
+                   help="OpenAI-style free-text context (vocabulary/style "
+                        "priming); seeds window 0 of a >30 s request")
+    p.add_argument("--condition_on_previous", action="store_true",
+                   help=">30 s requests decode windows sequentially, each "
+                        "conditioned on the accumulated transcript")
     args = p.parse_args(argv)
     res = transcribe_file(args.wav, args.host, args.port, args.language,
                           args.task, use_multipart=not args.pcm,
                           beam=args.beam,
-                          word_timestamps=args.word_timestamps)
+                          word_timestamps=args.word_timestamps,
+                          initial_prompt=args.initial_prompt,
+                          condition_on_previous=args.condition_on_previous)
     print(json.dumps(res, ensure_ascii=False, indent=2))
     return 0 if res.get("success") else 1
 

@@ -82,6 +82,16 @@ class Request:
     # for one teacher-forced alignment pass on a side thread, so the decode
     # loop never stalls on it. Greedy slots only (ignored on the beam path).
     word_timestamps: bool = False
+    # OpenAI --initial_prompt (round 5: VERDICT r4 #5 — the serving surface
+    # must not trail the pipeline's quality features): free text prepended
+    # as [sot_prev, tokens] context, trimmed to n_text_ctx//2 - 1 tokens,
+    # right-aligned with a masked left pad (decode.py:256-261 convention).
+    # For a >30 s request it seeds window 0; with condition_on_previous the
+    # windows decode SEQUENTIALLY, each conditioned on the accumulated
+    # transcript (longform.py:258-271 semantics) instead of fleet-parallel.
+    initial_prompt: Optional[str] = None
+    condition_on_previous: bool = False
+    _prompt_ids: Optional[list] = None  # memoized context token ids
     # "auto" requests keep language="auto" (a failed/retried request must not
     # lose it); the detected code lands here. The detection result stays on
     # device until harvest: _lang_holder is a dict shared by the admission
@@ -160,6 +170,9 @@ class _PreparedBatch:
     nsp: object                    # (bucket,) no-speech prob
     prompts: object                # (bucket, P) device prompt rows
     prompt_len: int
+    # (bucket,) masked left-pad length per row (initial_prompt context is
+    # right-aligned in the prompt; 0-width batches are all P - P0)
+    pads: object = None
     consumed: int = 0              # rows already scattered into slots
 
 
@@ -371,6 +384,10 @@ class ContinuousBatchingEngine:
         # position from prefill — both read host-side only at harvest
         self.fstate = jnp.zeros((B, 2), jnp.float32)
         self.nsp = jnp.zeros((B,), jnp.float32)
+        # per-slot masked left-pad length (initial_prompt context rides
+        # right-aligned in the prompt; pad positions are excluded from
+        # attention and positional indexing — decode.py:256-261 convention)
+        self.pads = jnp.zeros((B,), jnp.int32)
 
         if mesh is not None:
             self.kv = self._cache_cls(
@@ -385,10 +402,12 @@ class ContinuousBatchingEngine:
             self.limit = jax.device_put(self.limit, rep)
             self.fstate = jax.device_put(self.fstate, rep)
             self.nsp = jax.device_put(self.nsp, rep)
+            self.pads = jax.device_put(self.pads, rep)
 
         # host-side slot bookkeeping
         self._slot_req: List[Optional[Request]] = [None] * B
         self._slot_prompt_len: List[int] = [0] * B
+        self._slot_pad: List[int] = [0] * B  # left-pad within the prompt
         # host mirrors for adaptive sync sizing: per-slot token limit (set
         # at scatter) and the last resolved offsets (one round stale)
         self._slot_limit_h = np.full((B,), self.kv_ctx, np.int64)
@@ -502,6 +521,11 @@ class ContinuousBatchingEngine:
 
         waves, _ = split_audio(req.audio, N_SAMPLES, self.longform_overlap)
         n = len(waves)
+        if req.condition_on_previous and n > 1:
+            # quality mode: each window conditioned on the accumulated
+            # transcript — windows decode sequentially (longform.py:258-271
+            # semantics) instead of fleet-parallel
+            return self._submit_longform_conditioned(req, waves)
         children: List[Request] = []
         lock = threading.Lock()
         results: List[Optional[dict]] = [None] * n
@@ -528,29 +552,7 @@ class ContinuousBatchingEngine:
             except Exception:
                 req.on_partial = None
 
-        def on_child_done(i: int, fut: Future):
-            if req.future.cancelled():
-                for c in children:
-                    c.cancel()
-                return
-            if req.future.done():
-                return
-            exc = fut.exception() if not fut.cancelled() else None
-            if fut.cancelled() or exc is not None:
-                for c in children:
-                    c.cancel()
-                if not req.future.done():
-                    if exc is not None:
-                        req.future.set_exception(exc)
-                    else:
-                        req.future.cancel()
-                return
-            with lock:
-                results[i] = fut.result()
-                done = all(r is not None for r in results)
-            if not done:
-                return
-            lang = effective_lang()
+        def finalize(lang: str):
             # word-level overlap reconciliation when timings exist; fuzzy
             # text-overlap trim otherwise (longform.merge_transcripts)
             step = (N_SAMPLES - self.longform_overlap) / 16000.0
@@ -583,6 +585,30 @@ class ContinuousBatchingEngine:
                     payload["words"] = words
                 req.future.set_result(payload)
 
+        def on_child_done(i: int, fut: Future):
+            if req.future.cancelled():
+                for c in children:
+                    c.cancel()
+                return
+            if req.future.done():
+                return
+            exc = fut.exception() if not fut.cancelled() else None
+            if fut.cancelled() or exc is not None:
+                for c in children:
+                    c.cancel()
+                if not req.future.done():
+                    if exc is not None:
+                        req.future.set_exception(exc)
+                    else:
+                        req.future.cancel()
+                return
+            with lock:
+                results[i] = fut.result()
+                done = all(r is not None for r in results)
+            if not done:
+                return
+            finalize(effective_lang())
+
         if self._queue.maxsize and (self._queue.qsize() + n
                                     > self._queue.maxsize):
             raise OverloadedError(
@@ -593,7 +619,13 @@ class ContinuousBatchingEngine:
                             deadline_s=req.deadline_s,
                             beam_size=req.beam_size,
                             temperature=req.temperature,
-                            word_timestamps=req.word_timestamps)
+                            word_timestamps=req.word_timestamps,
+                            # a user initial_prompt seeds window 0 only
+                            # (OpenAI seeds once; the parallel fan-out has
+                            # no sliding context — condition_on_previous
+                            # is the sequential quality mode)
+                            initial_prompt=(req.initial_prompt
+                                            if i == 0 else None))
             # deadline is relative to the PARENT's arrival, not the window's
             child.enqueued_at = req.enqueued_at
             if req.on_partial is not None:
@@ -614,6 +646,119 @@ class ContinuousBatchingEngine:
                 if not req.future.done():
                     req.future.set_exception(exc)
                 raise exc
+        self.stats.queue_depth = self._queue.qsize() + len(self._pending)
+        return req.future
+
+    def _submit_longform_conditioned(self, req: Request,
+                                     waves: List[np.ndarray]) -> Future:
+        """Sequential >30 s decode where window i+1's prompt carries the
+        accumulated transcript (plus any user initial_prompt), matching the
+        offline seek loop's condition_on_previous_text (longform.py:258-271).
+        Trades the fleet-parallel fan-out for cross-window context — the
+        caller opted in via Request.condition_on_previous."""
+        n = len(waves)
+        results: List[Optional[dict]] = [None] * n
+        lang_box = {"lang": req.language}
+
+        def context_for(i: int) -> Optional[str]:
+            parts = []
+            if req.initial_prompt:
+                parts.append(req.initial_prompt.strip())
+            parts += [results[j]["text"] for j in range(i)
+                      if results[j] and results[j]["text"]]
+            joined = " ".join(p for p in parts if p).strip()
+            return joined or None
+
+        def finalize():
+            lang = lang_box["lang"]
+            if lang in (None, "", "auto"):
+                lang = next((r.get("language") for r in results
+                             if r and r.get("language")), "en")
+            from ..longform import merge_transcripts
+
+            step = (N_SAMPLES - self.longform_overlap) / 16000.0
+            ov = self.longform_overlap / 16000.0
+            merged = merge_transcripts(results, step, ov, lang)
+            wall = time.perf_counter() - req.enqueued_at
+            audio_s = len(req.audio) / 16000.0
+            lps = [r["avg_logprob"] for r in results]
+            payload = {
+                "success": True,
+                "text": merged["text"],
+                "language": lang,
+                "audio_seconds": audio_s,
+                "wall_seconds": wall,
+                "rtf": wall / max(audio_s, 1e-9),
+                "windows": n,
+                "conditioned": True,
+                "tokens": int(sum(r.get("tokens", 0) for r in results)),
+                "no_speech_prob": max(r["no_speech_prob"] for r in results),
+                "avg_logprob": float(sum(lps) / len(lps)),
+                "compression_ratio": max(r["compression_ratio"]
+                                         for r in results),
+                "quality_ok": all(r["quality_ok"] for r in results),
+            }
+            if req.word_timestamps:
+                payload["words"] = merged.get("words", [])
+            if not req.future.done():
+                req.future.set_result(payload)
+
+        def submit_window(i: int):
+            child = Request(audio=waves[i], language=lang_box["lang"],
+                            task=req.task, deadline_s=req.deadline_s,
+                            beam_size=req.beam_size,
+                            temperature=req.temperature,
+                            word_timestamps=req.word_timestamps,
+                            initial_prompt=context_for(i))
+            child.enqueued_at = req.enqueued_at
+            if req.on_partial is not None:
+                prefix = [results[j]["text"] for j in range(i)
+                          if results[j]]
+
+                def relay(text, _prefix=prefix):
+                    from ..longform import merge_texts
+
+                    try:
+                        req.on_partial(merge_texts(_prefix + [text],
+                                                   lang_box["lang"] or "en"))
+                    except Exception:
+                        req.on_partial = None
+                child.on_partial = relay
+            child.future.add_done_callback(
+                functools.partial(on_window_done, i))
+            try:
+                if child.beam_size > 1 or child.temperature > 0:
+                    self._submit_beam(child)
+                else:
+                    self._queue.put_nowait(child)
+            except (queue.Full, OverloadedError):
+                if not req.future.done():
+                    req.future.set_exception(OverloadedError(
+                        f"queue full ({self._queue.maxsize} pending "
+                        f"requests)"))
+
+        def on_window_done(i: int, fut: Future):
+            if req.future.done() or req.future.cancelled():
+                return
+            exc = fut.exception() if not fut.cancelled() else None
+            if fut.cancelled() or exc is not None:
+                if exc is not None:
+                    req.future.set_exception(exc)
+                else:
+                    req.future.cancel()
+                return
+            results[i] = fut.result()
+            # carry the detected language into the remaining windows so one
+            # utterance can't switch languages mid-stream
+            if lang_box["lang"] in (None, "", "auto"):
+                lang_box["lang"] = (results[i].get("language")
+                                    or lang_box["lang"])
+            if i + 1 < n:
+                submit_window(i + 1)
+            else:
+                finalize()
+
+        submit_window(0)
         self.stats.queue_depth = self._queue.qsize() + len(self._pending)
         return req.future
 
@@ -668,8 +813,8 @@ class ContinuousBatchingEngine:
             (self.tokens, self.offsets, self.done, self.rs, self.fstate,
              kv_k, kv_v) = self._traced_call(
                 ("step", n), self._step_fn, self.params, sup, self.tokens,
-                self.offsets, self.active, self.done, self.limit, self.rs,
-                self.fstate, self.kv[0], self.kv[1], self.cross, n)
+                self.offsets, self.active, self.done, self.limit, self.pads,
+                self.rs, self.fstate, self.kv[0], self.kv[1], self.cross, n)
             self.kv = self._cache_cls(kv_k, kv_v)
         self._traced_call(("pack",), self._pack_harvest_fn, self.tokens,
                           self.offsets, self.active, self.done, self.fstate,
@@ -689,16 +834,17 @@ class ContinuousBatchingEngine:
             src_rows = np.zeros((bucket,), np.int32)
             P = batch.prompt_len
             (self.tokens, self.offsets, self.active, self.done, self.limit,
-             self.rs, self.fstate, self.nsp, kv_k, kv_v,
+             self.rs, self.fstate, self.nsp, self.pads, kv_k, kv_v,
              self.cross) = self._traced_call(
-                ("admit", bucket), self._admit_fn,
+                ("admit", bucket, P), self._admit_fn,
                 jnp.asarray(slot_idx), jnp.asarray(src_rows),
                 batch.kvk, batch.kvv, batch.cross,
                 batch.first, batch.first_lp, batch.nsp,
                 jnp.full((bucket,), P, jnp.int32),
                 jnp.full((bucket,), self.kv_ctx, jnp.int32),
+                jnp.zeros((bucket,), jnp.int32),
                 self.tokens, self.offsets, self.active, self.done,
-                self.limit, self.rs, self.fstate, self.nsp,
+                self.limit, self.rs, self.fstate, self.nsp, self.pads,
                 self.kv[0], self.kv[1], self.cross,
                 batch.prompts, jnp.int32(0))
             self.kv = self._cache_cls(kv_k, kv_v)
@@ -748,7 +894,7 @@ class ContinuousBatchingEngine:
         has_suppress = suppress is not None
 
         def steps(params, suppress, tokens, offsets, active, done, limit,
-                  rs, fstate, kv_k, kv_v, cross, n_steps):
+                  pads, rs, fstate, kv_k, kv_v, cross, n_steps):
             # suppress rides as an EXPLICIT argument: a closure-captured
             # device array gets const-lifted into the partitioned
             # executable's input list, and the execution path then calls it
@@ -774,7 +920,7 @@ class ContinuousBatchingEngine:
                 cur = jnp.take_along_axis(tokens, pos[:, None], axis=1)[:, 0]
                 logits, kv = decoder_step_multipos(
                     params, cur, pos, cache_cls(kv_k, kv_v),
-                    cross, cfg, dt)
+                    cross, cfg, dt, pads=pads)
                 if use_rules:
                     logits = apply_rules(
                         logits, rs, cfg,
@@ -816,7 +962,7 @@ class ContinuousBatchingEngine:
         # full donation is safe: the pipelined harvest copies a PACKED
         # buffer (_pack_harvest_fn output), never these arrays directly
         return jax.jit(steps, static_argnames=("n_steps",),
-                       donate_argnums=(2, 7, 8, 9, 10))
+                       donate_argnums=(2, 8, 9, 10, 11))
 
     @functools.cached_property
     def _encode_fn(self):
@@ -867,7 +1013,7 @@ class ContinuousBatchingEngine:
 
         cache_cls = self._cache_cls
 
-        def prefill(params, cross, prompt):
+        def prefill(params, cross, prompt, pad, sot_index):
             # same bucketed ctx as the slot cache — _admit_fn scatters this
             # cache into it, so the trailing (position) axes must match
             if cache_cls is KVCache:
@@ -875,7 +1021,8 @@ class ContinuousBatchingEngine:
                                     ctx=self.kv_ctx)
             else:
                 kv = cache_cls.create(cfg, prompt.shape[0], ctx=self.kv_ctx)
-            logits, kv = decoder_forward(params, prompt, 0, kv, cross, cfg, dt)
+            logits, kv = decoder_forward(params, prompt, 0, kv, cross, cfg,
+                                         dt, pad=pad)
             kvk, kvv = kv[0], kv[1]
             if shard is not None:
                 kvk = jax.lax.with_sharding_constraint(
@@ -883,9 +1030,12 @@ class ContinuousBatchingEngine:
                 kvv = jax.lax.with_sharding_constraint(
                     kvv, self._head_sharding(kvv.ndim))
             # OpenAI-style no-speech probability: softmax at the sot position
-            # (index 0 of engine prompts), same as decode.py:126-128
+            # (right-aligned prompts put sot at one shared column), same as
+            # decode.py:126-128
+            sot_logits = jax.lax.dynamic_index_in_dim(
+                logits, sot_index, axis=1, keepdims=False)
             nsp = jax.nn.softmax(
-                logits[:, 0].astype(jnp.float32), axis=-1)[:, cfg.no_speech]
+                sot_logits.astype(jnp.float32), axis=-1)[:, cfg.no_speech]
             return logits[:, -1], nsp, kvk, kvv
 
         return jax.jit(prefill)
@@ -899,9 +1049,9 @@ class ContinuousBatchingEngine:
         pool admits any SUBSET of rows, the rest scatter on later ticks)."""
 
         def admit(slot_idx, src_rows, src_kvk, src_kvv, src_cross,
-                  first_tok, first_lp, src_nsp, prompt_len, lim,
+                  first_tok, first_lp, src_nsp, prompt_len, lim, src_pads,
                   tokens, offsets, active, done, limit, rs, fstate, nsp,
-                  kv_k, kv_v, cross, prompt, n_valid):
+                  pads, kv_k, kv_v, cross, prompt, n_valid):
             # slot_idx: (Bn,) target slots; entries >= B are padding (dropped)
             B = tokens.shape[0]
             T = tokens.shape[1]
@@ -945,11 +1095,12 @@ class ContinuousBatchingEngine:
                 jnp.stack([first_lp, jnp.ones_like(first_lp)], axis=1),
                 mode="drop")
             nsp = nsp.at[safe].set(src_nsp, mode="drop")
+            pads = pads.at[safe].set(src_pads, mode="drop")
             return (tokens, offsets, active, done, limit, rs, fstate, nsp,
-                    kv_k, kv_v, cross)
+                    pads, kv_k, kv_v, cross)
 
-        return jax.jit(admit, donate_argnums=(10, 11, 12, 13, 14, 16, 17,
-                                               18, 19, 20))
+        return jax.jit(admit, donate_argnums=(11, 12, 13, 14, 15, 17, 18,
+                                               19, 20, 21, 22))
 
     # --------------------------------------------------------- encode worker
     def _free_slots(self) -> List[int]:
@@ -1045,6 +1196,7 @@ class ContinuousBatchingEngine:
                     TimeoutError(f"deadline {req.deadline_s}s expired mid-decode"))
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
+            self._slot_pad[i] = 0
         mask = np.zeros((self.B,), bool)
         mask[drop] = True
         m = jnp.asarray(mask)
@@ -1052,17 +1204,53 @@ class ContinuousBatchingEngine:
         self.done = jnp.where(m, False, self.done)
         self.stats.active_slots = sum(r is not None for r in self._slot_req)
 
+    def _context_ids(self, r: Request) -> list:
+        """Tokenized initial_prompt context, memoized on the request (a
+        retried request keeps its conditioning). OpenAI trims the context
+        to n_text_ctx//2 - 1 tokens (whisper/decoding.py); additionally
+        capped so [sot_prev, ctx, sot-seq] plus a minimum generation
+        budget always fits the engine's bucketed slot cache."""
+        if r._prompt_ids is None:
+            ids: list = []
+            txt = (r.initial_prompt or "").strip()
+            if txt and hasattr(self.tokenizer, "encode"):
+                # reserve sot_prev + sot-sequence (<= 5) and an 8-token
+                # generation floor inside the bucketed cache
+                cap = min(self.cfg.n_text_ctx // 2 - 1,
+                          max(self.kv_ctx - 13, 0))
+                if cap > 0:
+                    ids = [int(t) for t in
+                           self.tokenizer.encode(" " + txt)[-cap:]]
+            r._prompt_ids = ids
+        return r._prompt_ids
+
+    def _prev_width(self, ctx_lens) -> int:
+        """Shared context-width bucket for a batch (0 = no context): the
+        longform prompt buckets, clamped so the prompt fits the slot
+        cache."""
+        longest = max(ctx_lens)
+        if longest == 0:
+            return 0
+        from ..longform import _bucket_prev
+
+        return min(_bucket_prev(longest), max(self.kv_ctx - 13, longest))
+
     def _prepare_batch(self, newcomers: List[Request]) -> _PreparedBatch:
         """Encode worker entry: mel prep + encoder + prefill for a bucketed
         batch of newcomers, slot-agnostic. Pure device dispatch — no host
         sync — so greedy slots keep stepping while this runs. First call
-        per bucket compiles under the engine compile lock (warmup() does
-        this for every bucket before the threads start)."""
+        per (bucket, context-width) compiles under the engine compile lock
+        (warmup() covers every bucket at width 0 before the threads
+        start; prompted widths compile lazily under the same lock)."""
         bucket = _bucket(len(newcomers), self.prefill_buckets)
-        return self._traced_call(("prepare", bucket),
-                                 self._prepare_batch_impl, newcomers)
+        prev = [self._context_ids(r) for r in newcomers]
+        prev_w = self._prev_width([len(t) for t in prev])
+        return self._traced_call(("prepare", bucket, prev_w),
+                                 self._prepare_batch_impl, newcomers, prev,
+                                 prev_w)
 
-    def _prepare_batch_impl(self, newcomers: List[Request]) -> _PreparedBatch:
+    def _prepare_batch_impl(self, newcomers: List[Request], prev: List[list],
+                            prev_w: int) -> _PreparedBatch:
         n = len(newcomers)
         bucket = _bucket(n, self.prefill_buckets)
         mel = np.zeros((bucket, N_SAMPLES), np.float32)
@@ -1091,31 +1279,50 @@ class ContinuousBatchingEngine:
             # placeholder for auto rows; position 1 is overwritten on device
             return "en" if r.language in (None, "auto") else r.language
 
-        P0 = len(self.cfg.sot_sequence(eff_lang(newcomers[0]), newcomers[0].task))
-        prompts = np.zeros((bucket, P0), np.int32)
-        for i, r in enumerate(newcomers):
-            prompts[i] = list(self.cfg.sot_sequence(eff_lang(r), r.task))
+        # prompts right-aligned over a shared width: [pad..., sot_prev,
+        # ctx..., sot, lang, task(, no_ts)] with the pad region masked out
+        # of attention/positions (longform.py:272-286 convention). With no
+        # initial_prompt anywhere, this degenerates to the plain sot rows.
+        base0 = list(self.cfg.sot_sequence(eff_lang(newcomers[0]),
+                                           newcomers[0].task))
         if self.timestamps:
-            prompts = prompts[:, :-1]
-        P = prompts.shape[1]
+            base0 = base0[:-1]
+        P0 = len(base0)
+        P = (1 + prev_w + P0) if prev_w else P0
+        prompts = np.full((bucket, P), self.cfg.eot, np.int32)
+        pads = np.full((bucket,), P - P0, np.int32)  # default: ctx all masked
+        for i, r in enumerate(newcomers):
+            seq = list(self.cfg.sot_sequence(eff_lang(r), r.task))
+            if self.timestamps:
+                seq = seq[:-1]
+            prompts[i, -P0:] = seq
+            t = prev[i][-prev_w:] if prev_w else []
+            if t:
+                pads[i] = prev_w - len(t)
+                prompts[i, pads[i]] = self.cfg.sot_prev
+                prompts[i, pads[i] + 1: pads[i] + 1 + len(t)] = t
         for i in range(n, bucket):
             prompts[i] = prompts[0]
+            pads[i] = pads[0]
 
         prompts_dev = jnp.asarray(prompts)
+        lang_col = P - P0 + 1  # sot sits at P - P0; the language token follows
         if auto_rows:
             lang_idx = self._detect_fn(self.params, src_cross)
             holder = {"idx": lang_idx}
             auto_mask = np.zeros((bucket,), bool)
             auto_mask[auto_rows] = True
-            prompts_dev = prompts_dev.at[:, 1].set(jnp.where(
+            prompts_dev = prompts_dev.at[:, lang_col].set(jnp.where(
                 jnp.asarray(auto_mask),
                 self.cfg.lang_token_start + lang_idx.astype(jnp.int32),
-                prompts_dev[:, 1]))
+                prompts_dev[:, lang_col]))
             for i in auto_rows:
                 newcomers[i]._lang_holder = holder
                 newcomers[i]._lang_row = i
 
-        logits, nsp, kvk, kvv = self._prefill_fn(self.params, src_cross, prompts_dev)
+        logits, nsp, kvk, kvv = self._prefill_fn(
+            self.params, src_cross, prompts_dev, jnp.asarray(pads),
+            jnp.int32(P - P0))
         rs0 = RuleState.create(bucket)
         if self.apply_filters or self.timestamps or self._suppress is not None:
             logits = apply_rules(logits, rs0, self.cfg, suppress_ids=self._suppress,
@@ -1126,7 +1333,8 @@ class ContinuousBatchingEngine:
 
         return _PreparedBatch(reqs=newcomers, kvk=kvk, kvv=kvv,
                               cross=src_cross, first=first, first_lp=first_lp,
-                              nsp=nsp, prompts=prompts_dev, prompt_len=P)
+                              nsp=nsp, prompts=prompts_dev, prompt_len=P,
+                              pads=pads)
 
     # -------------------------------------------------- decode-thread admit
     def _admit_new(self):
@@ -1191,16 +1399,21 @@ class ContinuousBatchingEngine:
             budget = r.max_tokens or self.max_tokens
             if budget:
                 lim[j] = min(lim[j], P + budget)
+        pad_rows = np.zeros((bucket,), np.int32)
+        if batch.pads is not None:
+            pad_rows[:k] = np.asarray(batch.pads)[rows]
 
         (self.tokens, self.offsets, self.active, self.done, self.limit, self.rs,
-         self.fstate, self.nsp, kv_k, kv_v, self.cross) = self._traced_call(
-            ("admit", bucket), self._admit_fn,
+         self.fstate, self.nsp, self.pads, kv_k, kv_v,
+         self.cross) = self._traced_call(
+            ("admit", bucket, P), self._admit_fn,
             jnp.asarray(slot_idx), jnp.asarray(src_rows),
             batch.kvk, batch.kvv, batch.cross,
             batch.first, batch.first_lp, batch.nsp,
             jnp.full((bucket,), P, jnp.int32), jnp.asarray(lim),
+            jnp.asarray(pad_rows),
             self.tokens, self.offsets, self.active, self.done, self.limit,
-            self.rs, self.fstate, self.nsp,
+            self.rs, self.fstate, self.nsp, self.pads,
             self.kv[0], self.kv[1], self.cross,
             batch.prompts, jnp.int32(k))
         self.kv = self._cache_cls(kv_k, kv_v)
@@ -1208,6 +1421,7 @@ class ContinuousBatchingEngine:
         for j, (i, r) in enumerate(zip(slots, takers)):
             self._slot_req[i] = r
             self._slot_prompt_len[i] = P
+            self._slot_pad[i] = int(pad_rows[j])
             self._slot_limit_h[i] = int(lim[j])
             self._slot_gen[i] += 1  # in-flight packed buffers go stale here
             if self._last_offs_h is not None:
@@ -1374,6 +1588,7 @@ class ContinuousBatchingEngine:
                 # temperature — free the slot, leave the future pending
                 self._slot_req[i] = None
                 self._slot_prompt_len[i] = 0
+                self._slot_pad[i] = 0
                 continue
             wall = time.perf_counter() - req.enqueued_at
             audio_s = len(req.audio) / 16000.0
@@ -1412,6 +1627,7 @@ class ContinuousBatchingEngine:
                     req.future.set_result(result)
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
+            self._slot_pad[i] = 0
         # deactivate harvested slots
         mask = np.zeros((self.B,), bool)
         mask[ready] = True
@@ -1430,9 +1646,14 @@ class ContinuousBatchingEngine:
         (align.py), which resolves the future when done."""
         cross_slice = tuple(x[:, slot : slot + 1] for x in self.cross)
         off = int(offs_h[slot])
+        # strip the masked left pad so the teacher-forced align pass sees
+        # the contiguous real sequence at canonical positions; the ctx
+        # tokens stay (excluded from the word rows via prompt_len)
+        pad = self._slot_pad[slot]
         seq = np.concatenate(
-            [tokens_h[slot, :off], [self.cfg.eot]]).astype(np.int32)
-        self._queue_align(req, result, cross_slice, seq, prompt_len, lang)
+            [tokens_h[slot, pad:off], [self.cfg.eot]]).astype(np.int32)
+        self._queue_align(req, result, cross_slice, seq, prompt_len - pad,
+                          lang)
 
     def _queue_align(self, req: Request, result: dict, cross_slice, seq,
                      prompt_len: int, lang: str):
@@ -1510,6 +1731,7 @@ class ContinuousBatchingEngine:
                 req.future.set_exception(exc)
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
+            self._slot_pad[i] = 0
         with self._ready_cv:
             prepared = list(self._ready)
             self._ready.clear()
@@ -1554,9 +1776,12 @@ class ContinuousBatchingEngine:
                             f"deadline {r.deadline_s}s expired in aux queue"))
                     continue
                 # t>0 decodes by categorical sampling (beam only at t=0 —
-                # OpenAI semantics), so a retried beam request samples at K=1
-                k_eff = ((1, r.temperature) if r.temperature > 0
-                         else (r.beam_size, 0.0))
+                # OpenAI semantics), so a retried beam request samples at
+                # K=1. Context width joins the key: a micro-batch shares
+                # one prompt shape (initial_prompt rides right-aligned)
+                prev_w = self._prev_width([len(self._context_ids(r))])
+                k_eff = ((1, r.temperature, prev_w) if r.temperature > 0
+                         else (r.beam_size, 0.0, prev_w))
                 if key is None:
                     key = k_eff
                 if k_eff == key:
@@ -1586,10 +1811,12 @@ class ContinuousBatchingEngine:
         buckets = sorted({b for b in self.prefill_buckets
                           if b <= self.beam_batch_max} | {self.beam_batch_max})
         bucket = _bucket(len(reqs), buckets)
-        return self._traced_call(("aux", bucket, K, round(float(temp), 6)),
-                                 self._run_beam_batch_impl, reqs)
+        prev_w = self._prev_width([len(self._context_ids(r)) for r in reqs])
+        return self._traced_call(
+            ("aux", bucket, K, round(float(temp), 6), prev_w),
+            self._run_beam_batch_impl, reqs, prev_w)
 
-    def _run_beam_batch_impl(self, reqs: List[Request]):
+    def _run_beam_batch_impl(self, reqs: List[Request], prev_w: int = 0):
         from ..beam import beam_search_kv
         from ..tokenizer import LANGUAGES
 
@@ -1626,15 +1853,30 @@ class ContinuousBatchingEngine:
             else:
                 langs.append(r.language)
 
-        P0 = len(self.cfg.sot_sequence(langs[0], reqs[0].task))
-        prompts = np.zeros((bucket, P0), np.int32)
-        for i, r in enumerate(reqs):
-            prompts[i] = list(self.cfg.sot_sequence(langs[i], r.task))
+        # right-aligned prompts with masked left pad (same convention as
+        # the slot path / longform): [pad..., sot_prev, ctx..., sot-seq]
+        base0 = list(self.cfg.sot_sequence(langs[0], reqs[0].task))
         if self.timestamps:
-            prompts = prompts[:, :-1]
-        P = prompts.shape[1]
+            base0 = base0[:-1]
+        P0 = len(base0)
+        P = (1 + prev_w + P0) if prev_w else P0
+        prompts = np.full((bucket, P), self.cfg.eot, np.int32)
+        pads = np.full((bucket,), P - P0, np.int32)
+        for i, r in enumerate(reqs):
+            seq = list(self.cfg.sot_sequence(langs[i], r.task))
+            if self.timestamps:
+                seq = seq[:-1]
+            prompts[i, -P0:] = seq
+            t = self._context_ids(r)[-prev_w:] if prev_w else []
+            if t:
+                pads[i] = prev_w - len(t)
+                prompts[i, pads[i]] = self.cfg.sot_prev
+                prompts[i, pads[i] + 1: pads[i] + 1 + len(t)] = t
         for i in range(n, bucket):
             prompts[i] = prompts[0]
+            pads[i] = pads[0]
+        prompt_pad = jnp.asarray(pads) if prev_w else None
+        sot_index = P - P0
 
         if temp > 0:
             from ..decode import greedy_decode_kv
@@ -1645,6 +1887,7 @@ class ContinuousBatchingEngine:
                 max_tokens=self.max_tokens, suppress_ids=self._suppress,
                 timestamps=self.timestamps, apply_filters=self.apply_filters,
                 temperature=float(temp),
+                prompt_pad=prompt_pad, sot_index=sot_index,
                 self_kv_quant=self.self_kv_quant)
         else:
             result = beam_search_kv(
@@ -1653,6 +1896,7 @@ class ContinuousBatchingEngine:
                 max_tokens=self.max_tokens, suppress_ids=self._suppress,
                 timestamps=self.timestamps, apply_filters=self.apply_filters,
                 length_penalty=self.length_penalty,
+                prompt_pad=prompt_pad, sot_index=sot_index,
                 self_kv_quant=self.self_kv_quant)
 
         from ..decode import extract_texts
@@ -1697,13 +1941,14 @@ class ContinuousBatchingEngine:
                 if r.word_timestamps and text and not silenced:
                     # the aux path serves temperature-ladder retries and
                     # explicit beam/sampled requests: align here too so a
-                    # retried request keeps its word timings
+                    # retried request keeps its word timings (left pad
+                    # stripped — see _submit_align)
                     seq = np.concatenate(
-                        [toks_h[i, : int(lens[i])],
+                        [toks_h[i, int(pads[i]): int(lens[i])],
                          [self.cfg.eot]]).astype(np.int32)
                     cross_slice = tuple(x[:, i : i + 1] for x in cross)
-                    self._queue_align(r, payload, cross_slice, seq, P,
-                                      langs[i])
+                    self._queue_align(r, payload, cross_slice, seq,
+                                      P - int(pads[i]), langs[i])
                 else:
                     if r.word_timestamps:
                         payload["words"] = []
@@ -1757,7 +2002,7 @@ class ContinuousBatchingEngine:
              kv_k, kv_v) = self._traced_call(
                 ("step", n_steps), self._step_fn, self.params, sup,
                 self.tokens, self.offsets, self.active, self.done,
-                self.limit, self.rs, self.fstate,
+                self.limit, self.pads, self.rs, self.fstate,
                 self.kv[0], self.kv[1], self.cross, n_steps)
             self.kv = self._cache_cls(kv_k, kv_v)
             self._start_harvest_copy()

@@ -223,7 +223,9 @@ def _parse_asr_request(body: bytes, ctype: str, headers, qs: dict):
               "task": qs.get("task", "transcribe"),
               "beam": qs.get("beam", "1"),
               "temperature": qs.get("temperature", "0"),
-              "word_timestamps": qs.get("word_timestamps", "0")}
+              "word_timestamps": qs.get("word_timestamps", "0"),
+              "initial_prompt": qs.get("initial_prompt", ""),
+              "condition_on_previous": qs.get("condition_on_previous", "0")}
     try:
         if ctype.startswith("multipart/form-data"):
             from .wire import parse_multipart
@@ -242,7 +244,10 @@ def _parse_asr_request(body: bytes, ctype: str, headers, qs: dict):
             audio = pcm_f32_from_bytes(body)
             for k, h in (("language", "X-Language"), ("task", "X-Task"),
                          ("beam", "X-Beam"), ("temperature", "X-Temperature"),
-                         ("word_timestamps", "X-Word-Timestamps")):
+                         ("word_timestamps", "X-Word-Timestamps"),
+                         ("initial_prompt", "X-Initial-Prompt"),
+                         ("condition_on_previous",
+                          "X-Condition-On-Previous")):
                 v = headers.get(h)
                 if v:
                     params[k] = v
@@ -297,6 +302,12 @@ class RouterHandler(BaseHTTPRequestHandler):
         if parsed is None:
             return False
         audio, params = parsed
+        if str(params.get("condition_on_previous", "0")).lower() in (
+                "1", "true", "yes", "on"):
+            # conditioning chains windows sequentially — relay the whole
+            # request to ONE backend whose engine runs the conditioned
+            # longform path; a fleet split would break the context chain
+            return False
         audio = np.asarray(audio, np.float32).reshape(-1)
         if audio.size <= N_SAMPLES:
             return False
@@ -308,17 +319,23 @@ class RouterHandler(BaseHTTPRequestHandler):
         waves, _ = split_audio(audio, N_SAMPLES, overlap)
         t0 = time.perf_counter()
 
-        def hdrs_for(language) -> dict:
-            return {"Content-Type": "application/octet-stream",
-                    "X-Language": str(language),
-                    "X-Task": str(params["task"]),
-                    "X-Beam": str(params["beam"]),
-                    "X-Temperature": str(params["temperature"]),
-                    "X-Word-Timestamps": str(params["word_timestamps"])}
+        def hdrs_for(language, window: int = 1) -> dict:
+            h = {"Content-Type": "application/octet-stream",
+                 "X-Language": str(language),
+                 "X-Task": str(params["task"]),
+                 "X-Beam": str(params["beam"]),
+                 "X-Temperature": str(params["temperature"]),
+                 "X-Word-Timestamps": str(params["word_timestamps"])}
+            ip = params.get("initial_prompt")
+            if ip and window == 0:
+                # the user prompt seeds window 0 only (engine semantics)
+                h["X-Initial-Prompt"] = (
+                    str(ip).encode("utf-8").decode("latin-1"))
+            return h
 
-        def one(w: np.ndarray, language) -> dict:
+        def one(w: np.ndarray, language, window: int = 1) -> dict:
             b, resp, conn = router.forward("POST", "/asr", w.tobytes(),
-                                           hdrs_for(language))
+                                           hdrs_for(language, window))
             try:
                 payload = json.loads(resp.read().decode() or "{}")
             finally:
@@ -333,7 +350,7 @@ class RouterHandler(BaseHTTPRequestHandler):
             # resolve auto-detection on the FIRST window and forward the
             # code to the rest — independent per-window detection can decode
             # one utterance's windows in different languages (ADVICE r3)
-            first = one(waves[0], "auto")
+            first = one(waves[0], "auto", window=0)
             lang = first.get("language") or "en"
             if lang in ("", "auto"):
                 lang = "en"
@@ -342,7 +359,9 @@ class RouterHandler(BaseHTTPRequestHandler):
             results = [first] + rest
         else:
             with ThreadPoolExecutor(max_workers=min(len(waves), 16)) as ex:
-                results = list(ex.map(lambda w: one(w, lang), waves))
+                results = list(ex.map(
+                    lambda iw: one(iw[1], lang, window=iw[0]),
+                    enumerate(waves)))
         with router._lock:  # handler threads are concurrent (ADVICE r3)
             router.split_requests_total += 1
 
@@ -385,7 +404,8 @@ class RouterHandler(BaseHTTPRequestHandler):
         self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
         self.wfile.flush()
 
-    def _stream_window(self, w: np.ndarray, language, out_q):
+    def _stream_window(self, w: np.ndarray, language, out_q,
+                       window: int = 1):
         """POST one window with stream=1 and feed its NDJSON lines into
         out_q as ("partial", text) / ("final", payload) / ("error", msg)."""
         router = self.router
@@ -395,6 +415,10 @@ class RouterHandler(BaseHTTPRequestHandler):
                      ("temperature", "X-Temperature"),
                      ("word_timestamps", "X-Word-Timestamps")):
             hdrs[h] = str(self._split_params[k])
+        ip = self._split_params.get("initial_prompt")
+        if ip and window == 0:  # user prompt seeds window 0 only
+            hdrs["X-Initial-Prompt"] = (
+                str(ip).encode("utf-8").decode("latin-1"))
         try:
             b, resp, conn = router.forward("POST", "/asr", w.tobytes(), hdrs)
         except ConnectionError as e:
@@ -441,6 +465,9 @@ class RouterHandler(BaseHTTPRequestHandler):
         if parsed is None:
             return False
         audio, params = parsed
+        if str(params.get("condition_on_previous", "0")).lower() in (
+                "1", "true", "yes", "on"):
+            return False  # sequential conditioning: one backend handles it
         audio = np.asarray(audio, np.float32).reshape(-1)
         if audio.size <= N_SAMPLES:
             return False
@@ -464,7 +491,7 @@ class RouterHandler(BaseHTTPRequestHandler):
 
         def launch(j, language):
             t = threading.Thread(target=self._stream_window,
-                                 args=(waves[j], language, queues[j]),
+                                 args=(waves[j], language, queues[j], j),
                                  daemon=True)
             t.start()
             threads.append(t)

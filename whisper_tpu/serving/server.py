@@ -47,7 +47,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
 
     def _stream_request(self, audio, language: str, task: str, beam: int = 1,
                         temperature: float = 0.0,
-                        word_timestamps: bool = False):
+                        word_timestamps: bool = False,
+                        initial_prompt=None, condition_on_previous=False):
         """Chunked response: one JSON line per partial, then the final result.
 
         Streaming partials per decode round is new capability — the reference
@@ -59,6 +60,8 @@ class WhisperHandler(BaseHTTPRequestHandler):
         req = Request(audio=audio, language=language, task=task,
                       beam_size=beam, temperature=temperature,
                       word_timestamps=word_timestamps,
+                      initial_prompt=initial_prompt,
+                      condition_on_previous=condition_on_previous,
                       on_partial=partials.put)
         fut = self.engine.submit(req)
 
@@ -129,6 +132,11 @@ class WhisperHandler(BaseHTTPRequestHandler):
             beam = qs.get("beam", "1")
             temperature = qs.get("temperature", "0")
             word_ts = qs.get("word_timestamps", "0")
+            # OpenAI --initial_prompt at the serving tier (query param is
+            # URL-decoded utf-8; multipart field below; X-Initial-Prompt
+            # header on the octet-stream protocol rides latin-1 per HTTP)
+            initial_prompt = qs.get("initial_prompt") or None
+            cond_prev = qs.get("condition_on_previous", "0")
 
             if ctype.startswith("multipart/form-data"):
                 fields = parse_multipart(body, ctype)
@@ -142,6 +150,10 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 temperature = (fields.get("temperature", temperature)
                                or temperature)
                 word_ts = fields.get("word_timestamps", word_ts) or word_ts
+                initial_prompt = (fields.get("initial_prompt")
+                                  or initial_prompt)
+                cond_prev = (fields.get("condition_on_previous", cond_prev)
+                             or cond_prev)
             elif ctype.startswith("application/octet-stream"):
                 if len(body) % 4 != 0:
                     # C++ server semantics (WhisperHTTPServer.hpp:60-71)
@@ -154,6 +166,15 @@ class WhisperHandler(BaseHTTPRequestHandler):
                 beam = self.headers.get("X-Beam", beam)
                 temperature = self.headers.get("X-Temperature", temperature)
                 word_ts = self.headers.get("X-Word-Timestamps", word_ts)
+                hp = self.headers.get("X-Initial-Prompt")
+                if hp:
+                    # header values arrive latin-1; recover utf-8 prompts
+                    try:
+                        initial_prompt = hp.encode("latin-1").decode("utf-8")
+                    except (UnicodeDecodeError, UnicodeEncodeError):
+                        initial_prompt = hp
+                cond_prev = self.headers.get("X-Condition-On-Previous",
+                                             cond_prev)
             else:
                 # bare WAV body as a convenience
                 audio = load_audio(body)
@@ -184,16 +205,21 @@ class WhisperHandler(BaseHTTPRequestHandler):
                                  "error": "temperature must be in [0, 2]"})
                 return
             word_ts = str(word_ts).lower() in ("1", "true", "yes", "on")
+            cond_prev = str(cond_prev).lower() in ("1", "true", "yes", "on")
 
             stream = self.headers.get("X-Stream") == "1" or qs.get("stream") == "1"
             if stream:
                 self._stream_request(audio, language, task, beam, temperature,
-                                     word_timestamps=word_ts)
+                                     word_timestamps=word_ts,
+                                     initial_prompt=initial_prompt,
+                                     condition_on_previous=cond_prev)
                 return
             fut = self.engine.submit(Request(audio=audio, language=language,
                                              task=task, beam_size=beam,
                                              temperature=temperature,
-                                             word_timestamps=word_ts))
+                                             word_timestamps=word_ts,
+                                             initial_prompt=initial_prompt,
+                                             condition_on_previous=cond_prev))
             result = fut.result(timeout=self.request_timeout_s)
             self._send(200, result)
         except OverloadedError as e:
