@@ -59,6 +59,10 @@ def main() -> int:
     p.add_argument("--beam", type=int, default=1,
                    help=">1: all requests go through the engine's beam "
                         "worker (the serving-path beam row)")
+    p.add_argument("--word_ts_frac", type=float, default=0.0,
+                   help="fraction of requests asking for word_timestamps "
+                        "(0..1): exercises the micro-batched align worker "
+                        "under load (VERDICT r4 #4)")
     args = p.parse_args()
 
     import jax
@@ -112,13 +116,19 @@ def main() -> int:
         budget = int(np.clip(rng.geometric(1.0 / (args.max_tokens * 0.45)),
                              4, args.max_tokens))
         return Request(audio=wav, language="zh", beam_size=args.beam,
-                       max_tokens=None if args.beam > 1 else budget)
+                       max_tokens=None if args.beam > 1 else budget,
+                       word_timestamps=bool(rng.random()
+                                            < args.word_ts_frac))
 
     # ---- warmup: compile the decode/admission programs off the clock
     print(f"[engine-bench] warmup (compiling decode + b{chunk} admission)...",
           file=sys.stderr)
     t0 = time.perf_counter()
-    warm = [eng.submit(make_req()) for _ in range(chunk)]
+    warm_reqs = [make_req() for _ in range(chunk)]
+    if args.word_ts_frac:
+        for r in warm_reqs:
+            r.word_timestamps = True  # compile an align bucket off the clock
+    warm = [eng.submit(r) for r in warm_reqs]
     for f in warm:
         f.result(timeout=3600)
     print(f"[engine-bench] warmup done in {time.perf_counter()-t0:.1f}s",
@@ -170,6 +180,8 @@ def main() -> int:
         "metric": f"engine_ragged_{args.model}_s{args.slots}_r{args.requests}"
                   + (f"_beam{args.beam}" if args.beam > 1 else "")
                   + ("_w8a8" if args.w8a8 else "")
+                  + (f"_wts{args.word_ts_frac:g}" if args.word_ts_frac
+                     else "")
                   + (f"_rate{args.rate:g}" if args.rate else "_burst"),
         "value": round(audio_s / wall, 1),
         "unit": "audio_s/s (ragged traffic, higher=better)",
@@ -192,6 +204,9 @@ def main() -> int:
         "encode_batches": eng.stats.encode_batches_total,
         "ticks": eng.stats.ticks_total,
     }
+    if args.word_ts_frac:
+        out["align_total"] = eng.stats.align_total
+        out["align_batches"] = eng.stats.align_batches_total
     print(json.dumps(out))
     return 0
 

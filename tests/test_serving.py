@@ -755,6 +755,46 @@ def test_threaded_engine_under_tp_stress(nano_params, rng):
         eng.stop()
 
 
+def test_align_worker_micro_batches(nano_params, rng):
+    """VERDICT r4 #4: queued word-timestamp jobs coalesce into ONE bucketed
+    (B, S) alignment pass, and batched words match a solo pass bit-for-bit
+    (deterministic decode => identical sequences)."""
+    import threading as _th
+
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, tok, max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None).start()
+    try:
+        # hold the align worker back so all jobs queue up first
+        eng._align_thread = _th.Thread(target=lambda: None)  # placeholder
+        wavs = [_audio(rng, 0.4 + 0.1 * i) for i in range(3)]
+        futs = [eng.submit(Request(audio=w, language="en",
+                                   word_timestamps=True)) for w in wavs]
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and len(eng._align_q) < 3:
+            time.sleep(0.01)
+        assert len(eng._align_q) == 3, "align jobs never queued"
+        worker = _th.Thread(target=eng._align_run, daemon=True)
+        eng._align_thread = worker
+        worker.start()
+        results = [f.result(timeout=60) for f in futs]
+        assert all(isinstance(r.get("words"), list) for r in results)
+        assert eng.stats.align_total == 3
+        assert eng.stats.align_batches_total == 1  # ONE bucketed pass
+        # batched == solo: resubmit the first request alone
+        solo = eng.submit(Request(audio=wavs[0], language="en",
+                                  word_timestamps=True)).result(timeout=60)
+        assert solo["text"] == results[0]["text"]
+        assert solo["words"] == results[0]["words"]
+    finally:
+        eng.stop()
+
+
 def test_engine_initial_prompt_matches_pipeline(rng):
     """VERDICT r4 #5: a served initial_prompt must (a) change the decoded
     prefix and (b) match the offline pipeline's decode with the same

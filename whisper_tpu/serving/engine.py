@@ -124,7 +124,8 @@ class EngineStats:
     low_quality_total: int = 0    # compression-ratio / logprob criteria failed
     beam_requests_total: int = 0  # requests served by the beam worker
     retries_total: int = 0        # temperature-ladder re-decodes
-    align_total: int = 0          # word-timestamp alignment passes run
+    align_total: int = 0          # word-timestamp alignments completed
+    align_batches_total: int = 0  # micro-batched alignment passes run
     # phase breakdown of busy time (sums to ~busy_seconds_total). JAX
     # dispatch is async, so admit/step measure HOST-side cost (audio prep,
     # bucketing, dispatch); device execution of everything dispatched in the
@@ -225,6 +226,7 @@ class ContinuousBatchingEngine:
         admit_chunk: Optional[int] = None,
         longform_overlap_s: float = 2.0,
         beam_batch_max: int = 8,
+        align_batch_max: int = 8,
         max_beam_size: int = 8,
         length_penalty: Optional[float] = None,
         temperature_fallback: Optional[Sequence[float]] = None,
@@ -461,10 +463,16 @@ class ContinuousBatchingEngine:
         self._beam_cv = threading.Condition()
         self._beam_thread: Optional[threading.Thread] = None
         self._beam_max_queue = max_queue
-        # word-timestamp alignment worker (lazy; one thread keeps alignment
-        # passes serialized so they interleave with decode dispatch instead
-        # of competing with it)
-        self._align_pool = None
+        # word-timestamp alignment worker (lazy thread): queued jobs are
+        # MICRO-BATCHED into one bucketed (B, S) alignment_matrix pass
+        # (round 5: the r4 worker ran one B=1 pass per request and could
+        # not keep up with a word-timestamps-heavy burst, VERDICT r4 #4)
+        from collections import deque as _deque
+
+        self._align_q: "_deque" = _deque()
+        self._align_cv = threading.Condition()
+        self._align_thread: Optional[threading.Thread] = None
+        self.align_batch_max = align_batch_max
         self._align_mask = None  # lazy (L, H) alignment-head mask on device
 
     # ------------------------------------------------------------- helpers
@@ -878,9 +886,11 @@ class ContinuousBatchingEngine:
             self._encode_thread = None
         if self._beam_thread is not None:
             self._beam_thread.join(timeout=30)
-        if self._align_pool is not None:
-            self._align_pool.shutdown(wait=True)
-            self._align_pool = None
+        with self._align_cv:
+            self._align_cv.notify_all()
+        if self._align_thread is not None:
+            self._align_thread.join(timeout=30)
+            self._align_thread = None
 
     # ------------------------------------------------------------- jitted pieces
     @functools.cached_property
@@ -1659,68 +1669,112 @@ class ContinuousBatchingEngine:
                      prompt_len: int, lang: str):
         """Shared align-queue entry for the greedy harvest AND the aux
         (beam/sampled/temperature-retry) path — a retried request must not
-        silently lose its word timestamps (found live, round 4)."""
-        if self._align_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._align_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="cb-align")
+        silently lose its word timestamps (found live, round 4). Jobs are
+        micro-batched by the align worker into one bucketed (B, S) pass."""
         audio_samples = min(len(req.audio), N_SAMPLES)
-        self._align_pool.submit(self._align_job, req, result, cross_slice,
-                                seq, prompt_len, lang, audio_samples)
+        with self._align_cv:
+            if self._align_thread is None:
+                self._align_thread = threading.Thread(
+                    target=self._align_run, daemon=True, name="cb-align")
+                self._align_thread.start()
+            self._align_q.append((req, result, cross_slice, seq,
+                                  prompt_len, lang, audio_samples))
+            self._align_cv.notify()
 
-    def _align_job(self, req: Request, result: dict, cross_slice, seq,
-                   prompt_len: int, lang: str, audio_samples: int):
+    def _align_run(self):
+        """Align worker loop: drain up to align_batch_max queued jobs into
+        ONE bucketed alignment_matrix pass. The pass was always batched
+        (B, S, Ta); the r4 worker just never used B>1 — under a
+        word-timestamps-heavy burst the serialized B=1 passes could not
+        keep pace with a 64-slot decode pool (VERDICT r4 #4)."""
+        while True:
+            with self._align_cv:
+                if not self._align_q:
+                    if self._stop.is_set():
+                        return
+                    self._align_cv.wait(timeout=0.05)
+                jobs = []
+                while self._align_q and len(jobs) < self.align_batch_max:
+                    jobs.append(self._align_q.popleft())
+            if jobs:
+                self._align_batch(jobs)
+
+    def _align_batch(self, jobs: list):
+        """One micro-batched alignment pass + per-job DTW/word extraction."""
+        import dataclasses
+        import math
+
+        from ..align import (
+            alignment_head_mask,
+            alignment_matrix,
+            dequantize_cross_kv,
+            merge_punctuations,
+            words_from_matrix,
+        )
+
+        k = len(jobs)
         try:
-            import dataclasses
-            import math
-
-            from ..align import (
-                alignment_head_mask,
-                alignment_matrix,
-                dequantize_cross_kv,
-                merge_punctuations,
-                words_from_matrix,
-            )
-
-            fp = dequantize_cross_kv(cross_slice)
-            S = min(max(32, 32 * math.ceil(len(seq) / 32)),
-                    self.cfg.n_text_ctx)
-            toks = np.full((1, S), self.cfg.eot, np.int32)
-            L = min(len(seq), S)
-            toks[0, :L] = seq[:L]
-            frames = min(int(np.ceil(audio_samples / 320)),
-                         self.cfg.n_audio_ctx)
             if self._align_mask is None:
                 self._align_mask = jnp.asarray(
                     alignment_head_mask(self.cfg), jnp.float32)
-            row_mask = jnp.asarray(
-                (np.arange(S) >= prompt_len) & (np.arange(S) < L))[None]
-            # device-reduced pass: only the (1, S, Ta) head-mean matrix and
-            # the per-token logprobs cross the tunnel (~2.7 MB at turbo),
-            # not the full (L, 1, H, S, Ta) attention stack (~215 MB, r3)
+            Bb = 1 << max(0, (k - 1)).bit_length()  # pow2 batch bucket
+            S = min(max(32, 32 * max(math.ceil(len(j[3]) / 32)
+                                     for j in jobs)), self.cfg.n_text_ctx)
+            toks = np.full((Bb, S), self.cfg.eot, np.int32)
+            row_mask = np.zeros((Bb, S), bool)
+            frames = np.ones((Bb,), np.int32)
+            for j, (_req, _res, _cross, seq, pl, _lang, samples) in \
+                    enumerate(jobs):
+                L = min(len(seq), S)
+                toks[j, :L] = seq[:L]
+                row_mask[j, pl:L] = True
+                frames[j] = min(int(np.ceil(samples / 320)),
+                                self.cfg.n_audio_ctx)
+            n_parts = len(jobs[0][2])
+            cross_cat = tuple(
+                jnp.concatenate(
+                    [jobs[j][2][i] for j in range(k)]
+                    + [jobs[0][2][i]] * (Bb - k), axis=1)
+                for i in range(n_parts))
+            fp = dequantize_cross_kv(cross_cat)
+            # device-reduced pass: only the (B, S, Ta) head-mean matrix and
+            # the per-token logprobs cross the tunnel (~2.7 MB/row at
+            # turbo), not the full (L, B, H, S, Ta) attention stack
             matrix, tlp = self._traced_call(
-                ("align", S), alignment_matrix,
+                ("align", Bb, S), alignment_matrix,
                 self.params, jnp.asarray(toks), fp, self._align_mask,
-                row_mask, jnp.asarray([frames], jnp.int32),
+                jnp.asarray(row_mask), jnp.asarray(frames),
                 self.cfg, self.dt)
-            matrix = np.asarray(matrix[0], np.float32)
-            tok = (dataclasses.replace(self.tokenizer, language=lang)
-                   if dataclasses.is_dataclass(self.tokenizer)
-                   else self.tokenizer)
-            ws = words_from_matrix(
-                matrix[prompt_len:L, :frames], toks[0, prompt_len:L],
-                tok, token_logprobs=np.asarray(tlp[0], np.float32),
-                prompt_len=prompt_len)
-            if lang not in ("zh", "ja", "th", "lo", "my", "yue"):
-                ws = merge_punctuations(ws)
-            result["words"] = ws
-            self.stats.align_total += 1
+            matrix = np.asarray(matrix, np.float32)
+            tlp = np.asarray(tlp, np.float32)
         except Exception as e:  # noqa: BLE001 — words are best-effort
-            result["words"] = None
-            result["align_error"] = f"{type(e).__name__}: {e}"
-        if not req.future.done():
-            req.future.set_result(result)
+            for (req, result, *_rest) in jobs:
+                result["words"] = None
+                result["align_error"] = f"{type(e).__name__}: {e}"
+                if not req.future.done():
+                    req.future.set_result(result)
+            return
+        self.stats.align_batches_total += 1
+        for j, (req, result, _cross, seq, pl, lang, _samples) in \
+                enumerate(jobs):
+            try:
+                L = min(len(seq), S)
+                fr = int(frames[j])
+                tok = (dataclasses.replace(self.tokenizer, language=lang)
+                       if dataclasses.is_dataclass(self.tokenizer)
+                       else self.tokenizer)
+                ws = words_from_matrix(
+                    matrix[j, pl:L, :fr], toks[j, pl:L],
+                    tok, token_logprobs=tlp[j], prompt_len=pl)
+                if lang not in ("zh", "ja", "th", "lo", "my", "yue"):
+                    ws = merge_punctuations(ws)
+                result["words"] = ws
+                self.stats.align_total += 1
+            except Exception as e:  # noqa: BLE001
+                result["words"] = None
+                result["align_error"] = f"{type(e).__name__}: {e}"
+            if not req.future.done():
+                req.future.set_result(result)
 
     def _fail_inflight(self, exc: BaseException):
         """Fail every in-flight, prepared and queued request; reset slot
