@@ -41,6 +41,9 @@ def main() -> int:
     p.add_argument("--max_tokens", type=int, default=64)
     p.add_argument("--admit_chunk", type=int, default=0,
                    help="0 = slots // 4")
+    p.add_argument("--encode_chunks", type=int, default=1,
+                   help=">1 = segmented admission encode (interleaves "
+                        "decode rounds with encoder layer groups)")
     p.add_argument("--dtype", default="bfloat16")
     # defaults mirror the server CLI's out-of-the-box configuration
     # (serving/__main__.py): the zero-flag row IS the shipped config
@@ -103,6 +106,7 @@ def main() -> int:
         kv_quant=args.kv_quant,
         self_kv_quant=args.self_kv_quant,
         admit_chunk=chunk,
+        encode_chunks=args.encode_chunks,
         prefill_buckets=(chunk,),   # one admission shape -> one compile
         max_queue=4 * args.requests,
     ).start()
@@ -181,6 +185,8 @@ def main() -> int:
                   + (f"_beam{args.beam}" if args.beam > 1 else "")
                   + ("_w8a8" if args.w8a8 else "")
                   + (f"_wts{args.word_ts_frac:g}" if args.word_ts_frac
+                     else "")
+                  + (f"_enc{args.encode_chunks}" if args.encode_chunks > 1
                      else "")
                   + (f"_rate{args.rate:g}" if args.rate else "_burst"),
         "value": round(audio_s / wall, 1),

@@ -755,6 +755,28 @@ def test_threaded_engine_under_tp_stress(nano_params, rng):
         eng.stop()
 
 
+def test_segmented_encode_matches_monolithic(nano_params, rng):
+    """encode_chunks > 1 splits the admission encoder into layer-group
+    programs (decode rounds interleave with admission encodes on one
+    chip, VERDICT r4 #2) — the segmented math must equal the monolithic
+    program exactly."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=8, apply_filters=False,
+        encode_chunks=2)
+    assert len(eng._encode_seg_fns) == 3  # front + 1 middle + tail
+    wav = _audio(rng, 0.6)
+    fa = eng.submit(Request(audio=wav, language="zh"))
+    eng._prepare_pending_once()
+    for _ in range(12):
+        if fa.done():
+            break
+        eng._tick()
+    got = fa.result(0)
+    ids = [int(s) for s in got["text"].split()] if got["text"] else []
+    assert ids == _offline_ids(nano_params, wav, 8)
+
+
 def test_align_worker_micro_batches(nano_params, rng):
     """VERDICT r4 #4: queued word-timestamp jobs coalesce into ONE bucketed
     (B, S) alignment pass, and batched words match a solo pass bit-for-bit

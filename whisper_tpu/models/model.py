@@ -178,13 +178,13 @@ def attention_kvt(
 
 
 # ------------------------------------------------------------------ encoder
-def encoder_forward(
+def encoder_stem(
     params: Params,
     mel: jnp.ndarray,  # (B, n_mels, 3000)
     cfg: WhisperConfig,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Conv stem + transformer encoder -> audio features (B, 1500, D) fp32."""
+    """Conv stem + positional embedding -> (B, Ta, D) in compute dtype."""
     enc = params["encoder"]
     dt = compute_dtype
     x = mel.astype(dt).transpose(0, 2, 1)  # (B, 3000, n_mels) NWC
@@ -198,8 +198,48 @@ def encoder_forward(
 
     x = _gelu(conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], 1))
     x = _gelu(conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
-    x = x + enc["pos_emb"][: x.shape[1]].astype(dt)
+    return x + enc["pos_emb"][: x.shape[1]].astype(dt)
 
+
+def encoder_post(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    enc = params["encoder"]
+    x = layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
+    return x.astype(jnp.float32)
+
+
+def encoder_forward(
+    params: Params,
+    mel: jnp.ndarray,  # (B, n_mels, 3000)
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Conv stem + transformer encoder -> audio features (B, 1500, D) fp32."""
+    x = encoder_stem(params, mel, cfg, compute_dtype)
+    x = encoder_blocks(params, x, cfg, compute_dtype)
+    return encoder_post(params, x, cfg, compute_dtype)
+
+
+def encoder_blocks(
+    params: Params,
+    x: jnp.ndarray,  # (B, Ta, D) stem output / previous segment
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+    lo: int = 0,
+    hi: Optional[int] = None,
+) -> jnp.ndarray:
+    """Transformer blocks [lo, hi) over the stem output.
+
+    Segmentable on purpose: the serving engine can run layer GROUPS as
+    separate device programs (engine.encode_chunks) so decode rounds
+    enqueue between an admission encode's segments instead of stalling
+    behind one monolithic encoder program (VERDICT r4 #2)."""
+    enc = params["encoder"]
+    dt = compute_dtype
     n_head = cfg.n_audio_head
 
     import os
@@ -262,9 +302,11 @@ def encoder_forward(
         x = x + lin(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
         return x, None
 
-    x, _ = jax.lax.scan(block, x, enc["blocks"])
-    x = layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
-    return x.astype(jnp.float32)
+    blocks = enc["blocks"]
+    if lo != 0 or hi is not None:
+        blocks = jax.tree.map(lambda a: a[lo:hi], blocks)
+    x, _ = jax.lax.scan(block, x, blocks)
+    return x
 
 
 def compute_cross_kv(

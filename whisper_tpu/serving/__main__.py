@@ -75,6 +75,8 @@ def _run_dp(args) -> int:
                 str(args.compression_ratio_threshold)]
         if args.admit_chunk:
             cmd += ["--admit_chunk", str(args.admit_chunk)]
+        if args.encode_chunks > 1:
+            cmd += ["--encode_chunks", str(args.encode_chunks)]
         cmd += ["--max_beam_size", str(args.max_beam_size),
                 "--beam_batch_max", str(args.beam_batch_max),
                 "--temperature_fallback", args.temperature_fallback]
@@ -203,6 +205,10 @@ def main(argv=None) -> int:
                    help="max newcomers encoded per sync round while slots "
                         "are active (default slots/4); bounds the decode "
                         "stall one admission can cause")
+    p.add_argument("--encode_chunks", type=int, default=1,
+                   help=">1 splits the admission encoder into that many "
+                        "layer-group programs so decode rounds interleave "
+                        "with admission encodes on one chip")
     p.add_argument("--max_beam_size", type=int, default=8,
                    help="per-request beam=K ceiling (each distinct K is one "
                         "compile of the beam worker's program)")
@@ -287,6 +293,7 @@ def main(argv=None) -> int:
                                      if args.compression_ratio_threshold < 0
                                      else args.compression_ratio_threshold),
         admit_chunk=args.admit_chunk,
+        encode_chunks=args.encode_chunks,
         adaptive_sync=args.adaptive_sync,
         max_beam_size=args.max_beam_size,
         beam_batch_max=args.beam_batch_max,

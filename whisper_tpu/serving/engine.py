@@ -224,6 +224,7 @@ class ContinuousBatchingEngine:
         logprob_threshold: Optional[float] = -1.0,
         compression_ratio_threshold: Optional[float] = 2.4,
         admit_chunk: Optional[int] = None,
+        encode_chunks: int = 1,
         longform_overlap_s: float = 2.0,
         beam_batch_max: int = 8,
         align_batch_max: int = 8,
@@ -260,6 +261,14 @@ class ContinuousBatchingEngine:
         # full-batch one. An idle engine admits whole buckets (best encoder
         # efficiency, nobody to stall).
         self.admit_chunk = admit_chunk or max(1, max_slots // 4)
+        # admission-encode segmentation (VERDICT r4 #2): >1 splits the
+        # encoder into that many layer-group programs; with slots actively
+        # decoding, the encode worker waits out each segment before
+        # dispatching the next, so decode-step programs enqueue (and run)
+        # BETWEEN segments on the chip instead of stalling ~1 s behind one
+        # monolithic encoder program. An idle engine still dispatches all
+        # segments back-to-back (no one to stall, no sync overhead).
+        self.encode_chunks = max(1, min(encode_chunks, cfg.n_audio_layer))
         # serving-level long audio: requests past the model's 30 s window are
         # split into overlapping windows at submit (the reference silently
         # truncates instead, python/whisper.py:148-152 — the flaw SURVEY §5
@@ -999,6 +1008,64 @@ class ContinuousBatchingEngine:
         return jax.jit(encode)
 
     @functools.cached_property
+    def _encode_seg_fns(self):
+        """Jitted encoder segments for encode_chunks > 1: part 0 = mel +
+        conv stem + first layer group, middle parts = layer groups, last
+        part = ln_post + cross-KV (+ int8 quant + TP shard constraint) —
+        the same math as _encode_fn, split into separate device programs
+        so decode rounds interleave with an admission encode."""
+        cfg, dt = self.cfg, self.dt
+        kv_quant = self.kv_quant
+        shard = self._kv_sharding
+        n = self.encode_chunks
+        L = cfg.n_audio_layer
+        bounds = [round(i * L / n) for i in range(n + 1)]
+
+        from ..models.model import encoder_blocks, encoder_post, encoder_stem
+
+        def front(params, mel, lengths):
+            mel_feat = log_mel_batch(mel, lengths, n_mels=cfg.n_mels)
+            mel_feat = mel_feat[..., : 2 * cfg.n_audio_ctx]
+            x = encoder_stem(params, mel_feat, cfg, dt)
+            return encoder_blocks(params, x, cfg, dt, 0, bounds[1])
+
+        fns = [jax.jit(front)]
+        for i in range(1, n):
+            def seg(params, x, lo=bounds[i], hi=bounds[i + 1]):
+                return encoder_blocks(params, x, cfg, dt, lo, hi)
+
+            fns.append(jax.jit(seg))
+
+        def tail(params, x):
+            audio = encoder_post(params, x, cfg, dt)
+            ckv = compute_cross_kv(params, audio, cfg, dt)
+            if kv_quant:
+                from ..models.model import quantize_cross_kv
+
+                ckv = quantize_cross_kv(ckv)
+            if shard is not None:
+                ckv = tuple(jax.lax.with_sharding_constraint(x_, shard)
+                            for x_ in ckv)
+            return tuple(ckv)
+
+        fns.append(jax.jit(tail))
+        return fns
+
+    def _encode_dispatch(self, mel, lengths):
+        """Admission encode: monolithic program, or encode_chunks segments
+        with the worker pacing each one while slots are decoding (so step
+        programs enqueue between segments — single-chip interleaving)."""
+        if self.encode_chunks <= 1:
+            return self._encode_fn(self.params, mel, lengths)
+        fns = self._encode_seg_fns
+        h = fns[0](self.params, mel, lengths)
+        for f in fns[1:]:
+            if self.stats.active_slots > 0:
+                jax.block_until_ready(h)
+            h = f(self.params, h)
+        return h
+
+    @functools.cached_property
     def _detect_fn(self):
         """Language ID from cross-KV: one [sot] decoder step (the reference
         documents 'auto' but never implements it, ax_whisper_api.h:40)."""
@@ -1270,7 +1337,8 @@ class ContinuousBatchingEngine:
             mel[i, : len(a)] = a
             lengths[i] = len(a)
 
-        src_cross = self._encode_fn(self.params, jnp.asarray(mel), jnp.asarray(lengths))
+        src_cross = self._encode_dispatch(jnp.asarray(mel),
+                                          jnp.asarray(lengths))
 
         # "auto" language: one [sot] decode step over the batch, injected into
         # the prompts ON DEVICE (no host sync here) — the detected code is
