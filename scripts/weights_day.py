@@ -16,7 +16,11 @@ Steps (each logged, each fatal on real runs):
      thresholds are declared untrusted by the gate itself
   3. per-size WER vs the reference table (README.md:231-238 / BASELINE.md),
      bf16 first then the quantized ladder
-  4. quality-gate spot checks (silence -> "", longform plumbing)
+  4. quality-gate spot checks (silence -> "", longform plumbing) + a
+     fuzzy-merge threshold sweep on real overlapping window decodes
+  4b. serving surface: boot `python -m whisper_tpu.serving --dp N`
+      (benched defaults + router) and pass the golden/WER spot checks
+      through POST /asr — certify what ships, not just the pipeline API
   5. write weights_day_report.{json,md} — paste into BENCH_NOTES/README
 
 ``--dry-run`` runs TODAY, offline: synthetic AIShell-format data, random
@@ -211,10 +215,118 @@ def step4_quality(args, report: dict):
     long = np.zeros(16000 * 35, np.float32)
     rng = np.random.default_rng(2)
     long[: 16000 * 2] = (rng.standard_normal(16000 * 2) * 0.05)
+    long[16000 * 26: 16000 * 30] = (rng.standard_normal(16000 * 4) * 0.05)
     res2 = pipe.transcribe(long)
     report["longform"] = {"audio_seconds": res2.audio_seconds}
     assert res2.audio_seconds > 30.0
+    # fuzzy-merge threshold sweep on REAL overlapping window decodes
+    # (VERDICT r4 weak #5): the junction similarity gate 0.72 was chosen on
+    # synthetic near-duplicates; on real weights the merged text must be
+    # inspected across gates before the default calcifies
+    from whisper_tpu.config import N_SAMPLES
+    from whisper_tpu.longform import merge_texts, split_audio
+
+    waves, _ = split_audio(long, N_SAMPLES, pipe.longform_overlap)
+    parts = [pipe.transcribe(w).text for w in waves]
+    sweep = {str(sim): merge_texts(parts, "zh", similarity=sim)
+             for sim in (0.6, 0.72, 0.85)}
+    report["merge_sweep"] = {"window_texts": parts, "merged": sweep}
+    distinct = len(set(sweep.values()))
+    if not args.dry_run and distinct > 1:
+        log(f"  WARNING: similarity gate changes the merged text "
+            f"({distinct} variants) — inspect report['merge_sweep'] and pin "
+            "the best gate (WEIGHTS_DAY.md step 4)")
     log("  quality checks exercised")
+
+
+def step4b_serving(args, report: dict):
+    """Boot the SHIPPED serving entry point (benched defaults behind
+    ``python -m whisper_tpu.serving --dp N`` + router) and pass the golden
+    and WER spot checks through POST /asr — weights day certifies what
+    ships, not just the pipeline API (VERDICT r4 #6)."""
+    import signal
+    import socket
+
+    log(f"step 4b: serving surface through /asr (--dp {args.serving_dp}) ...")
+    from whisper_tpu.serving.client import transcribe_file
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    size = args.sizes[0]
+    cmd = [sys.executable, "-m", "whisper_tpu.serving",
+           "--host", "127.0.0.1", "--port", str(port),
+           "--dp", str(args.serving_dp),
+           "--model_type", "test-nano" if args.dry_run else size]
+    if args.dry_run:
+        cmd += ["--dtype", "float32", "--slots", "2", "--max_tokens", "6",
+                "--steps_per_sync", "2"]
+    ck = _ckpt(args, size)
+    if ck:
+        cmd += ["--checkpoint", ck]
+    env = dict(os.environ)
+    if args.dry_run:
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(cmd, cwd=REPO, env=env, start_new_session=True)
+    try:
+        import urllib.request
+
+        deadline = time.time() + (300 if args.dry_run else 1800)
+        up = False
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise SystemExit(f"serving fleet died rc={proc.returncode}")
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/health", timeout=2) as r:
+                    if r.status == 200:
+                        up = True
+                        break
+            except OSError:
+                time.sleep(0.5)
+        if not up:
+            raise SystemExit("serving fleet never became healthy")
+        res = transcribe_file(args.demo_wav, "127.0.0.1", port,
+                              language="zh", timeout=600)
+        report["serving_golden"] = {"text": res.get("text"),
+                                    "success": res.get("success")}
+        if not res.get("success"):
+            raise SystemExit(f"served golden decode failed: {res}")
+        if not args.dry_run and res["text"].strip() != GOLDEN_TEXT:
+            raise SystemExit(
+                f"SERVED GOLDEN MISMATCH: {res['text']!r} != {GOLDEN_TEXT!r}"
+                " — the serving tier disagrees with the pipeline")
+        # WER spot checks through the wire: first utterances of the dataset
+        import wave as _wave
+
+        gt_dir = os.path.dirname(args.gt_path)
+        spots = []
+        with open(args.gt_path, encoding="utf-8") as f:
+            for line in list(f)[:2]:
+                utt, gt_text = line.strip().split(" ", 1)
+                wav = os.path.join(gt_dir, "aishell_S0764", f"{utt}.wav")
+                if not os.path.exists(wav):
+                    continue
+                r = transcribe_file(wav, "127.0.0.1", port, language="zh",
+                                    timeout=600)
+                if not r.get("success"):
+                    raise SystemExit(f"served WER spot decode failed: {r}")
+                spots.append({"utt": utt, "gt": gt_text,
+                              "text": r.get("text")})
+        report["serving_spots"] = spots
+        log(f"  served golden + {len(spots)} WER spots through /asr ok")
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
 
 
 def step5_record(args, report: dict):
@@ -249,6 +361,10 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--workdir", default=".")
+    p.add_argument("--serving_dp", type=int, default=2,
+                   help="data-parallel replicas for the step-4b serving "
+                        "check (needs that many chips on real hardware; "
+                        "1 = single server, no router)")
     p.add_argument("--dry-run", dest="dry_run", action="store_true",
                    help="offline rehearsal: synthetic data, random weights, "
                         "accuracy assertions skipped")
@@ -280,6 +396,7 @@ def main(argv=None) -> int:
     step2_quant_gate(args, report)
     step3_wer(args, report)
     step4_quality(args, report)
+    step4b_serving(args, report)
     report["wall_seconds"] = round(time.time() - t0, 1)
     step5_record(args, report)
     log(f"DONE in {report['wall_seconds']}s"

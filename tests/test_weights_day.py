@@ -24,7 +24,7 @@ def test_weights_day_dry_run(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "weights_day.py"),
          "--dry-run", "--workdir", str(tmp_path)],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     report = json.loads((tmp_path / "weights_day_report.json").read_text())
     assert report["dry_run"] is True
@@ -35,6 +35,11 @@ def test_weights_day_dry_run(tmp_path):
     for r in report["wer"].values():
         assert r["wer"] >= 0.0 and r["pass"] is None  # no asserts in dry-run
     assert "silence_gate" in report and "longform" in report
+    # round 5: merge-threshold sweep + the shipped serving surface through
+    # /asr (dp-2 fleet behind the router) ran end-to-end
+    assert set(report["merge_sweep"]["merged"]) == {"0.6", "0.72", "0.85"}
+    assert report["serving_golden"]["success"] is True
+    assert isinstance(report["serving_spots"], list)
     md = (tmp_path / "weights_day_report.md").read_text()
     assert "DRY-RUN" in md and "| model |" in md
     # the per-size artifacts exist where the real run would leave them
