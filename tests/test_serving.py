@@ -851,6 +851,43 @@ def test_engine_initial_prompt_matches_pipeline(rng):
         eng.stop()
 
 
+def test_beam_path_initial_prompt(rng):
+    """The aux (beam) worker builds the same [sot_prev, ctx] left-pad
+    prompts: a primed beam request must change the decode and keep its
+    prompt across the path (grouping by context width)."""
+    from whisper_tpu.pipeline import WhisperPipeline
+    from whisper_tpu.serving.engine import ContinuousBatchingEngine
+
+    pipe = WhisperPipeline(model="test-nano", language="zh",
+                           compute_dtype="float32", apply_filters=False,
+                           max_tokens=8, no_speech_threshold=2.0,
+                           logprob_threshold=-1e9)
+    eng = ContinuousBatchingEngine(
+        pipe.params, pipe.cfg, pipe.tokenizer, max_slots=2,
+        compute_dtype=jnp.float32, steps_per_sync=2, max_tokens=8,
+        apply_filters=False, no_speech_threshold=None,
+        logprob_threshold=None, compression_ratio_threshold=None).start()
+    try:
+        wav = _audio(rng, 0.5)
+        plain = eng.submit(Request(audio=wav, language="zh",
+                                   beam_size=2)).result(timeout=60)
+        primed = eng.submit(Request(audio=wav, language="zh", beam_size=2,
+                                    initial_prompt="hello world")
+                            ).result(timeout=60)
+        assert plain["success"] and primed["success"]
+        assert primed["beam_size"] == 2
+        assert primed["text"] != plain["text"]
+        # greedy-slot decode with the same prompt agrees on the conditioning
+        # (different search, same program family — just assert both ran and
+        # the primed beam is deterministic)
+        again = eng.submit(Request(audio=wav, language="zh", beam_size=2,
+                                   initial_prompt="hello world")
+                           ).result(timeout=60)
+        assert again["text"] == primed["text"]
+    finally:
+        eng.stop()
+
+
 def test_engine_conditioned_longform_sequential(nano_params, rng):
     """condition_on_previous chains >30 s windows sequentially, each
     seeded with the accumulated transcript (longform.py:258-271 at the

@@ -269,6 +269,8 @@ class ContinuousBatchingEngine:
         # monolithic encoder program. An idle engine still dispatches all
         # segments back-to-back (no one to stall, no sync overhead).
         self.encode_chunks = max(1, min(encode_chunks, cfg.n_audio_layer))
+        # per-bucket idle-measured segment durations for sleep-based pacing
+        self._encode_seg_est: Dict[int, list] = {}
         # serving-level long audio: requests past the model's 30 s window are
         # split into overlapping windows at submit (the reference silently
         # truncates instead, python/whisper.py:148-152 — the flaw SURVEY §5
@@ -1054,15 +1056,40 @@ class ContinuousBatchingEngine:
     def _encode_dispatch(self, mel, lengths):
         """Admission encode: monolithic program, or encode_chunks segments
         with the worker pacing each one while slots are decoding (so step
-        programs enqueue between segments — single-chip interleaving)."""
+        programs enqueue between segments — single-chip interleaving).
+
+        Pacing is a host SLEEP sized from per-segment durations measured
+        once per bucket while the engine was idle (warmup does this for
+        every configured bucket): a device sync per boundary would cost a
+        full round trip on a tunneled device, turning the interleave win
+        into a loss. Sleeping needs no device traffic — decode rounds
+        dispatched during the sleep enqueue between the segments."""
         if self.encode_chunks <= 1:
             return self._encode_fn(self.params, mel, lengths)
         fns = self._encode_seg_fns
+        bucket = int(mel.shape[0])
+        est = self._encode_seg_est.get(bucket)
+        active = self.stats.active_slots > 0
+        measure = est is None and not active
+        if measure:
+            est = []
         h = fns[0](self.params, mel, lengths)
-        for f in fns[1:]:
-            if self.stats.active_slots > 0:
-                jax.block_until_ready(h)
+        if measure:
+            t0 = time.perf_counter()
+            jax.block_until_ready(h)
+            est.append(time.perf_counter() - t0)
+        for i, f in enumerate(fns[1:]):
+            # the segment in flight is fns[i]; sleep ~its duration so the
+            # decode thread's dispatches enqueue before fns[i+1]
+            if active and est is not None and i < len(est):
+                time.sleep(max(0.0, est[i] * 0.9))
             h = f(self.params, h)
+            if measure:
+                t0 = time.perf_counter()
+                jax.block_until_ready(h)
+                est.append(time.perf_counter() - t0)
+        if measure:
+            self._encode_seg_est[bucket] = est
         return h
 
     @functools.cached_property
