@@ -203,7 +203,8 @@ def main() -> int:
                "--slots", os.environ.get("BENCH_SLOTS", "64"),
                "--requests", os.environ.get("BENCH_REQUESTS", "192"),
                "--rate", os.environ.get("BENCH_RATE", "0"),
-               "--steps_per_sync", os.environ.get("BENCH_STEPS_PER_SYNC", "8")]
+               "--steps_per_sync", os.environ.get("BENCH_STEPS_PER_SYNC",
+                                                  "16")]
         for flag, env in (("--kv_quant", "BENCH_KV_QUANT"),
                           ("--self_kv_quant", "BENCH_SELF_KV_QUANT"),
                           ("--w8a8", "BENCH_W8A8")):

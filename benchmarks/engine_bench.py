@@ -55,9 +55,10 @@ def main() -> int:
                    default=True,
                    help="int8 weights + dynamic-int8 encoder activations "
                         "(the flagship quant mode, quant_gate-passed)")
-    p.add_argument("--steps_per_sync", type=int, default=8)
+    # zero-flag row = the shipped server defaults (BENCH_NOTES r5 sweeps)
+    p.add_argument("--steps_per_sync", type=int, default=16)
     p.add_argument("--adaptive_sync", action=argparse.BooleanOptionalAction,
-                   default=True)
+                   default=False)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--beam", type=int, default=1,
                    help=">1: all requests go through the engine's beam "

@@ -696,6 +696,7 @@ def test_warmup_preserves_state_and_results(nano_params, rng):
     eng = ContinuousBatchingEngine(
         nano_params, NANO, IdTok(), max_slots=2, compute_dtype=jnp.float32,
         steps_per_sync=2, max_tokens=8, apply_filters=False,
+        adaptive_sync=True,  # warm all three step variants
         warm_start=True).start()
     try:
         assert eng.stats.warmup_seconds > 0

@@ -149,22 +149,24 @@ def main(argv=None) -> int:
     p.add_argument("--slots", type=int, default=8, help="max concurrent decodes")
     p.add_argument("--dtype", default="bfloat16")
     # Out-of-the-box defaults REPRODUCE the benched flagship configuration
-    # (BENCH_NOTES r3/r4): steps_per_sync 8, int8 cross+self KV, W8A8
-    # weights, and a 224-token budget (OpenAI transcribe's sample_len =
-    # n_text_ctx // 2) so the self-KV cache buckets to 256 positions
-    # instead of streaming all 448 every step (~1.8x the benched step cost,
-    # VERDICT r3 weak #3). Opt out per flag for debugging/parity runs.
-    p.add_argument("--steps_per_sync", type=int, default=8)
+    # (BENCH_NOTES r5 paired sweeps): steps_per_sync 16 with adaptive sync
+    # OFF (fixed-16 won both 2026-08 paired A/B sweeps; the r4 adaptive
+    # default's median trailed it), int8 cross+self KV, W8A8 weights, and a
+    # 224-token budget (OpenAI transcribe's sample_len = n_text_ctx // 2)
+    # so the self-KV cache buckets to 256 positions instead of streaming
+    # all 448 every step. Opt out per flag for debugging/parity runs.
+    p.add_argument("--steps_per_sync", type=int, default=16)
     p.add_argument("--max_tokens", type=int, default=224,
                    help="per-request generated-token budget; bounds the "
                         "bucketed self-KV cache (default 224 = OpenAI "
                         "sample_len; 0 = unlimited full-context cache)")
     p.add_argument("--timestamps", action="store_true")
     p.add_argument("--adaptive_sync", action=argparse.BooleanOptionalAction,
-                   default=True,
+                   default=False,
                    help="grow decode rounds to 2x/4x steps_per_sync while "
-                        "no active slot can finish within them (fewer "
-                        "device syncs, no wasted steps)")
+                        "no active slot can finish within them. Off by "
+                        "default: paired r5 A/B sweeps measured it at or "
+                        "below fixed rounds (BENCH_NOTES r5)")
     p.add_argument("--kv_quant", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="int8-quantize the cross-attention KV state")

@@ -231,7 +231,7 @@ class ContinuousBatchingEngine:
         max_beam_size: int = 8,
         length_penalty: Optional[float] = None,
         temperature_fallback: Optional[Sequence[float]] = None,
-        adaptive_sync: bool = True,
+        adaptive_sync: bool = False,
         warm_start: Optional[bool] = None,
     ):
         self.cfg = cfg
@@ -240,9 +240,11 @@ class ContinuousBatchingEngine:
         self.B = max_slots
         self.steps_per_sync = steps_per_sync
         # adaptive sync: a round grows to 2x/4x steps_per_sync while EVERY
-        # active slot still needs that many tokens (each sync round costs a
-        # device-tunnel RTT; fewer rounds = less of it), and shrinks back
-        # to the base as any completion nears so the slot frees promptly
+        # active slot still needs that many tokens, shrinking back as any
+        # completion nears. OFF by default since round 5: paired A/B sweeps
+        # (BENCH_NOTES r5) measured it at or below fixed rounds at both
+        # base 8 and base 16 — the "strictly fewer RTTs" argument did not
+        # survive pairing.
         self.adaptive_sync = adaptive_sync
         self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max_slots) or (max_slots,)
         self.max_tokens = max_tokens
