@@ -33,6 +33,7 @@ import numpy as np
 
 
 def parse_config(name: str):
+    """fixed<N>/adaptive<N> with an optional encM suffix, e.g. fixed16enc2."""
     m = re.fullmatch(r"(fixed|adaptive)(\d+)(?:enc(\d+))?", name)
     if not m:
         raise ValueError(f"bad config {name!r}")
@@ -113,13 +114,15 @@ def main() -> int:
             reqs.append((wav, budget))
         return reqs
 
-    def run_one(eng, reqs) -> float:
+    def run_one(eng, reqs):
         done_evt = threading.Event()
         n_done = [0]
         lock = threading.Lock()
         rs = []
+        lat = {}
 
-        def on_done(fut):
+        def on_done(r, fut):
+            lat[id(r)] = time.perf_counter() - r.enqueued_at
             with lock:
                 n_done[0] += 1
                 if n_done[0] == len(reqs):
@@ -128,7 +131,7 @@ def main() -> int:
         t0 = time.perf_counter()
         for wav, budget in reqs:
             r = Request(audio=wav, language="zh", max_tokens=budget)
-            r.future.add_done_callback(on_done)
+            r.future.add_done_callback(functools.partial(on_done, r))
             rs.append(r)
             eng.submit(r)
         assert done_evt.wait(timeout=3600)
@@ -136,23 +139,32 @@ def main() -> int:
         results = [r.future.result() for r in rs]
         assert all(x["success"] for x in results)
         audio_s = sum(x["audio_seconds"] for x in results)
-        return audio_s / wall
+        lats = np.asarray([lat[id(r)] for r in rs])
+        return (audio_s / wall,
+                float(np.percentile(lats, 50)),
+                float(np.percentile(lats, 95)))
 
     # throwaway warm run per engine (compiles off the clock)
     for c in configs:
         t0 = time.perf_counter()
-        v = run_one(engines[c["name"]], traffic(999))
+        v, _, _ = run_one(engines[c["name"]], traffic(999))
         print(f"[ab] warm {c['name']}: {v:.0f} audio-s/s "
               f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr, flush=True)
 
     table = {c["name"]: [] for c in configs}
+    lat50 = {c["name"]: [] for c in configs}
+    lat95 = {c["name"]: [] for c in configs}
     for rep in range(args.repeats):
         reqs = traffic(args.seed * 10_000 + rep)
         for c in configs:
-            v = run_one(engines[c["name"]], reqs)
+            v, p50, p95 = run_one(engines[c["name"]], reqs)
             table[c["name"]].append(round(v, 1))
+            lat50[c["name"]].append(p50)
+            lat95[c["name"]].append(p95)
             print(json.dumps({"config": c["name"], "rep": rep,
-                              "audio_s_per_s": round(v, 1)}), flush=True)
+                              "audio_s_per_s": round(v, 1),
+                              "req_p50_s": round(p50, 2),
+                              "req_p95_s": round(p95, 2)}), flush=True)
 
     for eng in engines.values():
         eng.stop()
@@ -167,6 +179,8 @@ def main() -> int:
             "median": round(float(np.median(vals)), 1),
             "mean": round(float(np.mean(vals)), 1),
             "best": max(vals), "worst": min(vals),
+            "req_p50_median_s": round(float(np.median(lat50[name])), 2),
+            "req_p95_median_s": round(float(np.median(lat95[name])), 2),
         }
     # paired win-rate: fraction of repeats where row-config beats col-config
     names = list(table)

@@ -925,6 +925,35 @@ def test_engine_conditioned_longform_sequential(nano_params, rng):
         eng.stop()
 
 
+@pytest.mark.slow
+def test_http_conditioned_longform(nano_params, rng):
+    """condition_on_previous over the wire: a >30 s octet-stream request
+    with X-Condition-On-Previous decodes sequentially through the engine's
+    conditioned path (response carries conditioned: true)."""
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="zh", task="transcribe")
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, tok, max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False).start()
+    srv = make_server(eng, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        wav = _audio(rng, 70.0)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/asr?language=zh"
+            f"&condition_on_previous=1&initial_prompt=seed",
+            data=wav.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        res = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert res["success"] and res["windows"] == 3
+        assert res.get("conditioned") is True
+    finally:
+        srv.shutdown()
+        eng.stop()
+
+
 def test_http_initial_prompt(nano_params, rng):
     """initial_prompt over the wire (query param + multipart field) reaches
     the engine and changes the decode."""
