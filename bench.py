@@ -204,7 +204,7 @@ def main() -> int:
                "--requests", os.environ.get("BENCH_REQUESTS", "192"),
                "--rate", os.environ.get("BENCH_RATE", "0"),
                "--steps_per_sync", os.environ.get("BENCH_STEPS_PER_SYNC",
-                                                  "16")]
+                                                  "32")]
         for flag, env in (("--kv_quant", "BENCH_KV_QUANT"),
                           ("--self_kv_quant", "BENCH_SELF_KV_QUANT"),
                           ("--w8a8", "BENCH_W8A8")):

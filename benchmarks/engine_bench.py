@@ -56,7 +56,7 @@ def main() -> int:
                    help="int8 weights + dynamic-int8 encoder activations "
                         "(the flagship quant mode, quant_gate-passed)")
     # zero-flag row = the shipped server defaults (BENCH_NOTES r5 sweeps)
-    p.add_argument("--steps_per_sync", type=int, default=16)
+    p.add_argument("--steps_per_sync", type=int, default=32)
     p.add_argument("--adaptive_sync", action=argparse.BooleanOptionalAction,
                    default=False)
     p.add_argument("--seed", type=int, default=0)

@@ -149,13 +149,14 @@ def main(argv=None) -> int:
     p.add_argument("--slots", type=int, default=8, help="max concurrent decodes")
     p.add_argument("--dtype", default="bfloat16")
     # Out-of-the-box defaults REPRODUCE the benched flagship configuration
-    # (BENCH_NOTES r5 paired sweeps): steps_per_sync 16 with adaptive sync
-    # OFF (fixed-16 won both 2026-08 paired A/B sweeps; the r4 adaptive
-    # default's median trailed it), int8 cross+self KV, W8A8 weights, and a
+    # (BENCH_NOTES r5 paired sweeps): steps_per_sync 32 with adaptive sync
+    # OFF — the four-sweep step ladder rose monotonically 8 < 16 < 24 < 32
+    # and flattened at 32 (32 beat 16 7/8 paired with the best p50/p95;
+    # 48/64 tied it) — plus int8 cross+self KV, W8A8 weights, and a
     # 224-token budget (OpenAI transcribe's sample_len = n_text_ctx // 2)
     # so the self-KV cache buckets to 256 positions instead of streaming
     # all 448 every step. Opt out per flag for debugging/parity runs.
-    p.add_argument("--steps_per_sync", type=int, default=16)
+    p.add_argument("--steps_per_sync", type=int, default=32)
     p.add_argument("--max_tokens", type=int, default=224,
                    help="per-request generated-token budget; bounds the "
                         "bucketed self-KV cache (default 224 = OpenAI "
