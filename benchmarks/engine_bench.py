@@ -113,6 +113,11 @@ def main() -> int:
     ).start()
 
     rng = np.random.default_rng(args.seed)
+    # word_timestamps draws come from a SEPARATE stream: consuming them
+    # from the main rng shifted every audio/budget draw for a given seed,
+    # silently changing the traffic vs the r4-recorded rows even at
+    # word_ts_frac=0 — cross-round ladders must stay apples-to-apples
+    wts_rng = np.random.default_rng(args.seed + 0x5EED)
 
     def make_req():
         secs = rng.uniform(args.min_s, args.max_s)
@@ -122,7 +127,7 @@ def main() -> int:
                              4, args.max_tokens))
         return Request(audio=wav, language="zh", beam_size=args.beam,
                        max_tokens=None if args.beam > 1 else budget,
-                       word_timestamps=bool(rng.random()
+                       word_timestamps=bool(wts_rng.random()
                                             < args.word_ts_frac))
 
     # ---- warmup: compile the decode/admission programs off the clock

@@ -457,3 +457,34 @@ def test_segments_from_explicit_segments():
     f = io.StringIO()
     write_result(r, "srt", f)
     assert "00:00:00,000 --> 00:00:01,500\n你好\n" in f.getvalue()
+
+
+def test_render_payload_from_serving_dict():
+    """render_payload adapts a serving payload dict (engine result) to the
+    writer interface: segments synthesized from words, utf-8 text out."""
+    from whisper_tpu.formats import HTTP_CONTENT_TYPES, render_payload
+
+    payload = {
+        "success": True,
+        "text": "hello world again",
+        "language": "en",
+        "audio_seconds": 2.0,
+        "rtf": 0.01,
+        "words": [
+            {"word": " hello", "start": 0.1, "end": 0.4},
+            {"word": " world", "start": 0.5, "end": 0.9},
+            {"word": " again", "start": 2.2, "end": 2.5},  # >1 s gap splits
+        ],
+    }
+    srt = render_payload(payload, "srt")
+    assert "1\n00:00:00,100 --> 00:00:00,900\nhello world\n" in srt
+    assert "2\n" in srt  # the gap produced a second cue
+    vtt = render_payload(payload, "vtt")
+    assert vtt.startswith("WEBVTT")
+    tsv = render_payload(payload, "tsv")
+    assert tsv.splitlines()[1] == "100\t900\thello world"
+    txt = render_payload(payload, "txt")
+    assert txt == "hello world again\n"
+    assert set(HTTP_CONTENT_TYPES) == {"txt", "srt", "vtt", "tsv", "json"}
+    # no words at all: subtitle formats degrade to empty cue lists
+    assert render_payload({"text": "x", "language": "en"}, "srt") == ""

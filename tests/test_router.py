@@ -367,3 +367,27 @@ def test_router_split_merges_word_timestamps(rng):
             s.shutdown()
         for e in engines:
             e.stop()
+
+
+def test_parse_asr_request_recovers_utf8_prompt_header():
+    """X-Initial-Prompt arrives latin-1 over HTTP; the router must recover
+    the utf-8 text BEFORE storing it, or the split path's re-encode
+    (hdrs_for/_stream_window) double-encodes non-ASCII prompts — exactly
+    the zh vocabulary-priming case the feature targets."""
+    from whisper_tpu.serving.router import _parse_asr_request
+
+    prompt = "中文词汇表"
+    wire = prompt.encode("utf-8").decode("latin-1")  # as http.server delivers
+    body = struct.pack("<4f", 0.0, 0.1, -0.1, 0.2)
+    parsed = _parse_asr_request(
+        body, "application/octet-stream",
+        {"X-Initial-Prompt": wire, "X-Language": "zh"}, {})
+    assert parsed is not None
+    _audio, params = parsed
+    assert params["initial_prompt"] == prompt
+    # and the wire re-encode round-trips back to the same header value
+    assert params["initial_prompt"].encode("utf-8").decode("latin-1") == wire
+    # an ASCII prompt passes through untouched
+    parsed = _parse_asr_request(
+        body, "application/octet-stream", {"X-Initial-Prompt": "hello"}, {})
+    assert parsed[1]["initial_prompt"] == "hello"

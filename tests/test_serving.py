@@ -1454,3 +1454,135 @@ def test_http_streaming_word_timestamps(engine_wt, rng):
         assert final["success"] and isinstance(final["words"], list)
     finally:
         srv.shutdown()
+
+
+def test_partial_scatter_stays_warm_and_correct(nano_params, rng):
+    """A partial scatter (prepared batch wider than the free slots) must
+    reuse the admit program warmup() compiled — the scatter width is the
+    PREPARE bucket, not a smaller bucket of the row count, which would
+    mint a new (scatter, source) shape signature and compile lock-free on
+    the decode thread (execute-only invariant). Also an end-to-end check
+    that rows consumed across several ticks land on the right callers."""
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, IdTok(), max_slots=4, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=12, apply_filters=False,
+        admit_chunk=4, prefill_buckets=(1, 2, 4))
+    eng.warmup()
+    # occupy 2 slots with long decodes (driven manually — no threads)
+    long_wavs = [_audio(rng, 0.4 + 0.2 * i) for i in range(2)]
+    long_futs = [eng.submit(Request(audio=w, language="zh", max_tokens=12))
+                 for w in long_wavs]
+    eng._prepare_pending_once()
+    eng._tick()
+    assert eng.stats.active_slots == 2
+    # now a 4-wide batch against only 2 free slots -> partial scatter
+    short_wavs = [_audio(rng, 0.3 + 0.1 * i) for i in range(4)]
+    short_futs = [eng.submit(Request(audio=w, language="zh", max_tokens=4))
+                  for w in short_wavs]
+    cold0 = eng.stats.cold_compiles_total
+    for _ in range(60):
+        if all(f.done() for f in long_futs + short_futs):
+            break
+        eng._tick()
+    results = [f.result(timeout=0) for f in long_futs + short_futs]
+    assert all(r["success"] for r in results)
+    assert eng.stats.cold_compiles_total == cold0, (
+        "partial scatter compiled a new program after warmup()")
+    # right tokens to the right caller through the multi-tick consume
+    for w, r, budget in zip(long_wavs + short_wavs, results, [12, 12, 4, 4, 4, 4]):
+        ids = [int(s) for s in r["text"].split()] if r["text"] else []
+        assert ids == _offline_ids(nano_params, w, budget), r
+
+
+def test_align_worker_survives_batch_exception(nano_params, rng):
+    """The align worker thread must outlive an exception escaping
+    _align_batch (e.g. the set_result/cancel race): the batch fails soft
+    with align_error, and the NEXT word-timestamp request is still
+    served — the r4 ThreadPoolExecutor isolated per-job exceptions and
+    the r5 micro-batch loop must not regress that."""
+    from concurrent.futures import InvalidStateError
+
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    eng = ContinuousBatchingEngine(
+        nano_params, NANO, tok, max_slots=2, compute_dtype=jnp.float32,
+        steps_per_sync=2, max_tokens=6, apply_filters=False,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None).start()
+    real = eng._align_batch
+    state = {"calls": 0}
+
+    def flaky(jobs):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise InvalidStateError("simulated set_result/cancel race")
+        return real(jobs)
+
+    eng._align_batch = flaky
+    try:
+        r1 = eng.submit(Request(audio=_audio(rng, 0.4), language="en",
+                                word_timestamps=True)).result(timeout=60)
+        assert r1["success"] and r1["words"] is None
+        assert "align_error" in r1
+        r2 = eng.submit(Request(audio=_audio(rng, 0.5), language="en",
+                                word_timestamps=True)).result(timeout=60)
+        assert r2["success"] and isinstance(r2["words"], list)
+        assert eng._align_thread.is_alive()
+    finally:
+        eng.stop()
+
+
+def test_http_format_srt_vtt_tsv(engine_wt, rng):
+    """POST /asr?format=srt|vtt|tsv renders the transcript through the
+    CLI's subtitle writers (serving must not be the lesser surface);
+    subtitle formats imply word_timestamps. format=json stays the raw
+    payload; unknown formats 400."""
+    srv = make_server(engine_wt, "127.0.0.1", 0, request_timeout_s=120)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        wav = _audio(rng, 0.4)
+
+        def post(fmt):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/asr?language=en&format={fmt}",
+                data=wav.tobytes(),
+                headers={"Content-Type": "application/octet-stream"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, r.headers.get("Content-Type"), r.read().decode()
+
+        code, ctype, body = post("srt")
+        assert code == 200 and ctype.startswith("application/x-subrip")
+        assert "-->" in body  # cue timing line present
+
+        code, ctype, body = post("vtt")
+        assert code == 200 and ctype.startswith("text/vtt")
+        assert body.startswith("WEBVTT")
+
+        code, ctype, body = post("tsv")
+        assert code == 200 and body.splitlines()[0] == "start\tend\ttext"
+
+        code, ctype, body = post("txt")
+        assert code == 200 and ctype.startswith("text/plain")
+
+        # unknown format -> 400
+        try:
+            post("exe")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # streaming + format -> 400 (NDJSON only)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/asr?language=en&format=srt&stream=1",
+            data=wav.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

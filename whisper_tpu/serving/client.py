@@ -23,6 +23,7 @@ def transcribe_file(
     word_timestamps: bool = False,
     initial_prompt: str = "",
     condition_on_previous: bool = False,
+    fmt: str = "json",
 ) -> dict:
     url = f"http://{host}:{port}/asr"
     if use_multipart:
@@ -40,6 +41,11 @@ def transcribe_file(
                 f"--{boundary}\r\n"
                 'Content-Disposition: form-data; '
                 'name="condition_on_previous"\r\n\r\n1\r\n')
+        if fmt and fmt != "json":
+            extra += (
+                f"--{boundary}\r\n"
+                'Content-Disposition: form-data; name="format"\r\n\r\n'
+                f"{fmt}\r\n")
         body = (
             f"--{boundary}\r\n"
             'Content-Disposition: form-data; name="language"\r\n\r\n'
@@ -74,8 +80,14 @@ def transcribe_file(
                 initial_prompt.encode("utf-8").decode("latin-1"))
         if condition_on_previous:
             headers["X-Condition-On-Previous"] = "1"
+        if fmt and fmt != "json":
+            headers["X-Format"] = fmt
         req = urllib.request.Request(url, data=pcm, headers=headers)
     with urllib.request.urlopen(req, timeout=timeout) as r:
+        if fmt and fmt != "json":
+            # rendered transcript (srt/vtt/tsv/txt): raw text, not JSON
+            return {"success": True, "format": fmt,
+                    "text": r.read().decode("utf-8")}
         return json.load(r)
 
 
@@ -102,14 +114,22 @@ def main(argv=None) -> int:
     p.add_argument("--condition_on_previous", action="store_true",
                    help=">30 s requests decode windows sequentially, each "
                         "conditioned on the accumulated transcript")
+    p.add_argument("--format", dest="fmt", default="json",
+                   choices=["json", "txt", "srt", "vtt", "tsv"],
+                   help="response rendering (srt/vtt/tsv imply "
+                        "word_timestamps server-side)")
     args = p.parse_args(argv)
     res = transcribe_file(args.wav, args.host, args.port, args.language,
                           args.task, use_multipart=not args.pcm,
                           beam=args.beam,
                           word_timestamps=args.word_timestamps,
                           initial_prompt=args.initial_prompt,
-                          condition_on_previous=args.condition_on_previous)
-    print(json.dumps(res, ensure_ascii=False, indent=2))
+                          condition_on_previous=args.condition_on_previous,
+                          fmt=args.fmt)
+    if args.fmt != "json":
+        print(res["text"], end="")
+    else:
+        print(json.dumps(res, ensure_ascii=False, indent=2))
     return 0 if res.get("success") else 1
 
 

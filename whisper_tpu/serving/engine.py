@@ -27,7 +27,7 @@ import functools
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -126,6 +126,8 @@ class EngineStats:
     retries_total: int = 0        # temperature-ladder re-decodes
     align_total: int = 0          # word-timestamp alignments completed
     align_batches_total: int = 0  # micro-batched alignment passes run
+    cold_compiles_total: int = 0  # _traced_call cold keys taken (0 after
+    # warmup() on the greedy/admission hot path — the execute-only check)
     # phase breakdown of busy time (sums to ~busy_seconds_total). JAX
     # dispatch is async, so admit/step measure HOST-side cost (audio prep,
     # bucketing, dispatch); device execution of everything dispatched in the
@@ -156,6 +158,16 @@ class OverloadedError(RuntimeError):
     """Raised on submit when the request queue is at capacity (backpressure)."""
 
 
+# Process-wide compile serialization: the partitioned CPU backend has been
+# observed to intermittently mis-execute (executable invoked with the wrong
+# buffer arity) when two threads trace/compile concurrently — including
+# threads of DIFFERENT engine instances in one process (ab_sweep, the test
+# suite and a future multi-model server all build several). One RLock for
+# every engine's first-compiles restores the invariant the r4 class-level
+# lock enforced; warm-key dispatch never touches it.
+_GLOBAL_COMPILE_LOCK = threading.RLock()
+
+
 @dataclass
 class _PreparedBatch:
     """An admission batch the encode worker finished: bucketed mel->encoder->
@@ -175,6 +187,29 @@ class _PreparedBatch:
     # right-aligned in the prompt; 0-width batches are all P - P0)
     pads: object = None
     consumed: int = 0              # rows already scattered into slots
+
+
+def _safe_set_result(fut: Future, result) -> None:
+    """Resolve a future, tolerating a concurrent cancel.
+
+    The ``if not done(): set_result()`` idiom races ``Future.cancel()``
+    (e.g. longform's on_child_done cancelling siblings); the resulting
+    InvalidStateError must never escape into a worker loop and kill the
+    thread."""
+    try:
+        if not fut.done():
+            fut.set_result(result)
+    except InvalidStateError:
+        pass
+
+
+def _safe_set_exception(fut: Future, exc: BaseException) -> None:
+    """set_exception twin of _safe_set_result (same cancel race)."""
+    try:
+        if not fut.done():
+            fut.set_exception(exc)
+    except InvalidStateError:
+        pass
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -461,10 +496,11 @@ class ContinuousBatchingEngine:
         # resolved at the START of the next tick so the transfer overlaps
         # the device's execution of the current round
         self._inflight_harvest = None
-        # compile discipline (class docstring): one lock serializes every
-        # first-call trace/compile; _warm_keys marks programs already
+        # compile discipline (class docstring): one PROCESS-WIDE lock
+        # serializes every first-call trace/compile (see
+        # _GLOBAL_COMPILE_LOCK); _warm_keys marks programs already
         # compiled so the hot paths run lock-free
-        self._compile_lock = threading.Lock()
+        self._compile_lock = _GLOBAL_COMPILE_LOCK
         self._warm_keys: set = set()
         self.stats = EngineStats()
         self._stop = threading.Event()
@@ -604,7 +640,7 @@ class ContinuousBatchingEngine:
                 }
                 if words is not None:
                     payload["words"] = words
-                req.future.set_result(payload)
+                _safe_set_result(req.future, payload)
 
         def on_child_done(i: int, fut: Future):
             if req.future.cancelled():
@@ -617,11 +653,10 @@ class ContinuousBatchingEngine:
             if fut.cancelled() or exc is not None:
                 for c in children:
                     c.cancel()
-                if not req.future.done():
-                    if exc is not None:
-                        req.future.set_exception(exc)
-                    else:
-                        req.future.cancel()
+                if exc is not None:
+                    _safe_set_exception(req.future, exc)
+                else:
+                    req.future.cancel()
                 return
             with lock:
                 results[i] = fut.result()
@@ -664,8 +699,7 @@ class ContinuousBatchingEngine:
                     f"queue full ({self._queue.maxsize} pending requests)")
                 for c in children:
                     c.cancel()
-                if not req.future.done():
-                    req.future.set_exception(exc)
+                _safe_set_exception(req.future, exc)
                 raise exc
         self.stats.queue_depth = self._queue.qsize() + len(self._pending)
         return req.future
@@ -721,8 +755,7 @@ class ContinuousBatchingEngine:
             }
             if req.word_timestamps:
                 payload["words"] = merged.get("words", [])
-            if not req.future.done():
-                req.future.set_result(payload)
+            _safe_set_result(req.future, payload)
 
         def submit_window(i: int):
             child = Request(audio=waves[i], language=lang_box["lang"],
@@ -753,10 +786,9 @@ class ContinuousBatchingEngine:
                 else:
                     self._queue.put_nowait(child)
             except (queue.Full, OverloadedError):
-                if not req.future.done():
-                    req.future.set_exception(OverloadedError(
-                        f"queue full ({self._queue.maxsize} pending "
-                        f"requests)"))
+                _safe_set_exception(req.future, OverloadedError(
+                    f"queue full ({self._queue.maxsize} pending "
+                    f"requests)"))
 
         def on_window_done(i: int, fut: Future):
             if req.future.done() or req.future.cancelled():
@@ -764,7 +796,7 @@ class ContinuousBatchingEngine:
             exc = fut.exception() if not fut.cancelled() else None
             if fut.cancelled() or exc is not None:
                 if exc is not None:
-                    req.future.set_exception(exc)
+                    _safe_set_exception(req.future, exc)
                 else:
                     req.future.cancel()
                 return
@@ -808,6 +840,7 @@ class ContinuousBatchingEngine:
         with self._compile_lock:
             out = fn(*args, **kwargs)
             self._warm_keys.add(key)
+            self.stats.cold_compiles_total += 1
         return out
 
     def warmup(self, buckets: Optional[Sequence[int]] = None):
@@ -1256,9 +1289,8 @@ class ContinuousBatchingEngine:
             if r.future.cancelled():
                 continue
             if r.expired(now):
-                if not r.future.done():
-                    r.future.set_exception(
-                        TimeoutError(f"deadline {r.deadline_s}s expired in queue"))
+                _safe_set_exception(r.future, TimeoutError(
+                    f"deadline {r.deadline_s}s expired in queue"))
                 continue
             newcomers.append(r)
         self.stats.queue_depth = len(self._pending)
@@ -1269,8 +1301,7 @@ class ContinuousBatchingEngine:
             batch = self._prepare_batch(newcomers)
         except Exception as e:  # noqa: BLE001 — fail these requests, keep serving
             for r in newcomers:
-                if not r.future.done():
-                    r.future.set_exception(e)
+                _safe_set_exception(r.future, e)
             return False
         with self._ready_cv:
             self._ready.append(batch)
@@ -1297,9 +1328,8 @@ class ContinuousBatchingEngine:
             return
         for i in drop:
             req = self._slot_req[i]
-            if not req.future.done():
-                req.future.set_exception(
-                    TimeoutError(f"deadline {req.deadline_s}s expired mid-decode"))
+            _safe_set_exception(req.future, TimeoutError(
+                f"deadline {req.deadline_s}s expired mid-decode"))
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
             self._slot_pad[i] = 0
@@ -1470,10 +1500,9 @@ class ContinuousBatchingEngine:
                 if r.future.cancelled():
                     continue
                 if r.expired(now):
-                    if not r.future.done():
-                        r.future.set_exception(TimeoutError(
-                            f"deadline {r.deadline_s}s expired before a "
-                            f"slot freed"))
+                    _safe_set_exception(r.future, TimeoutError(
+                        f"deadline {r.deadline_s}s expired before a "
+                        f"slot freed"))
                     continue
                 rows.append(i)
                 takers.append(r)
@@ -1492,7 +1521,16 @@ class ContinuousBatchingEngine:
     def _scatter_rows(self, batch: _PreparedBatch, rows: List[int],
                       takers: List[Request]):
         k = len(rows)
-        bucket = _bucket(k, self.prefill_buckets)
+        # ALWAYS the prepare bucket: the admit program's source arrays
+        # (kvk/kvv/cross/prompts) carry this leading dim, so reusing it as
+        # the scatter width keeps the _traced_call key identical to the one
+        # warmup() compiled. Deriving a smaller bucket from k (a partial
+        # scatter — fewer free slots than prepared rows) would mint a new
+        # (scatter-bucket, source-bucket) shape signature under a key
+        # already marked warm and compile lock-free on the decode thread,
+        # breaking the execute-only invariant. The price is a slightly
+        # wider masked scatter (invalid rows drop at slot index B).
+        bucket = int(batch.first.shape[0])
         slots = self._free_slots()[:k]
         slot_idx = np.full((bucket,), self.B, np.int32)
         slot_idx[:k] = slots
@@ -1731,7 +1769,7 @@ class ContinuousBatchingEngine:
                 else:
                     if req.word_timestamps:
                         result["words"] = []
-                    req.future.set_result(result)
+                    _safe_set_result(req.future, result)
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
             self._slot_pad[i] = 0
@@ -1786,15 +1824,29 @@ class ContinuousBatchingEngine:
         keep pace with a 64-slot decode pool (VERDICT r4 #4)."""
         while True:
             with self._align_cv:
-                if not self._align_q:
-                    if self._stop.is_set():
-                        return
-                    self._align_cv.wait(timeout=0.05)
+                # untimed predicate wait: _queue_align notifies on every
+                # job and stop() notifies on shutdown, so a poll timeout
+                # would only wake an idle engine ~20x/s forever
+                while not self._align_q and not self._stop.is_set():
+                    self._align_cv.wait()
+                if not self._align_q and self._stop.is_set():
+                    return
                 jobs = []
                 while self._align_q and len(jobs) < self.align_batch_max:
                     jobs.append(self._align_q.popleft())
             if jobs:
-                self._align_batch(jobs)
+                try:
+                    self._align_batch(jobs)
+                except Exception as e:  # noqa: BLE001 — worker must survive
+                    # _align_batch guards its own failure modes; this is the
+                    # last line of defense (e.g. a future set_result racing
+                    # a cancel) — fail the batch, keep the thread alive for
+                    # every later word-timestamp request
+                    for (req, result, *_rest) in jobs:
+                        result.setdefault(
+                            "align_error", f"{type(e).__name__}: {e}")
+                        result.setdefault("words", None)
+                        _safe_set_result(req.future, result)
 
     def _align_batch(self, jobs: list):
         """One micro-batched alignment pass + per-job DTW/word extraction."""
@@ -1848,8 +1900,7 @@ class ContinuousBatchingEngine:
             for (req, result, *_rest) in jobs:
                 result["words"] = None
                 result["align_error"] = f"{type(e).__name__}: {e}"
-                if not req.future.done():
-                    req.future.set_result(result)
+                _safe_set_result(req.future, result)
             return
         self.stats.align_batches_total += 1
         for j, (req, result, _cross, seq, pl, lang, _samples) in \
@@ -1870,16 +1921,15 @@ class ContinuousBatchingEngine:
             except Exception as e:  # noqa: BLE001
                 result["words"] = None
                 result["align_error"] = f"{type(e).__name__}: {e}"
-            if not req.future.done():
-                req.future.set_result(result)
+            _safe_set_result(req.future, result)
 
     def _fail_inflight(self, exc: BaseException):
         """Fail every in-flight, prepared and queued request; reset slot
         state so the loop can keep serving (failure containment — one bad
         batch must not wedge the server)."""
         for i, req in enumerate(self._slot_req):
-            if req is not None and not req.future.done():
-                req.future.set_exception(exc)
+            if req is not None:
+                _safe_set_exception(req.future, exc)
             self._slot_req[i] = None
             self._slot_prompt_len[i] = 0
             self._slot_pad[i] = 0
@@ -1890,13 +1940,11 @@ class ContinuousBatchingEngine:
             self.stats.prepared_depth = 0
         for batch in prepared:
             for req in batch.reqs[batch.consumed:]:
-                if not req.future.done():
-                    req.future.set_exception(exc)
+                _safe_set_exception(req.future, exc)
         self._drain_queue()
         while self._pending:
             req = self._pending.popleft()
-            if not req.future.done():
-                req.future.set_exception(exc)
+            _safe_set_exception(req.future, exc)
         self._inflight_harvest = None
         self.active = jnp.zeros_like(self.active)
         self.done = jnp.zeros_like(self.done)
@@ -1909,8 +1957,9 @@ class ContinuousBatchingEngine:
         Different-K requests keep their position (strict FIFO per K; a
         mixed-K queue alternates rounds rather than starving anyone)."""
         with self._beam_cv:
-            if not self._beam_pending:
-                self._beam_cv.wait(timeout=0.05)
+            # untimed predicate wait (submit/stop both notify) — no idle poll
+            while not self._beam_pending and not self._stop.is_set():
+                self._beam_cv.wait()
             if self._stop.is_set() or not self._beam_pending:
                 return []
             key = None  # (effective beam, temperature): one compiled program
@@ -1922,9 +1971,8 @@ class ContinuousBatchingEngine:
                 if r.future.cancelled():
                     continue
                 if r.expired(now):
-                    if not r.future.done():
-                        r.future.set_exception(TimeoutError(
-                            f"deadline {r.deadline_s}s expired in aux queue"))
+                    _safe_set_exception(r.future, TimeoutError(
+                        f"deadline {r.deadline_s}s expired in aux queue"))
                     continue
                 # t>0 decodes by categorical sampling (beam only at t=0 —
                 # OpenAI semantics), so a retried beam request samples at
@@ -1953,38 +2001,34 @@ class ContinuousBatchingEngine:
         The aux key space (bucket, K, temperature) is caller-chosen, so it
         can't be pre-warmed exhaustively; first use of a combination
         compiles under the engine compile lock (the decode/encode hot
-        paths stay lock-free — they were warmed at start())."""
-        temp = reqs[0].temperature
-        K = reqs[0].beam_size if temp == 0 else 1
-        # always include beam_batch_max so the bucket covers any batch the
-        # collector can produce (an engine configured with one small prefill
-        # bucket must not overflow here)
-        buckets = sorted({b for b in self.prefill_buckets
-                          if b <= self.beam_batch_max} | {self.beam_batch_max})
-        bucket = _bucket(len(reqs), buckets)
-        prev_w = self._prev_width([len(self._context_ids(r)) for r in reqs])
-        return self._traced_call(
-            ("aux", bucket, K, round(float(temp), 6), prev_w),
-            self._run_beam_batch_impl, reqs, prev_w)
-
-    def _run_beam_batch_impl(self, reqs: List[Request], prev_w: int = 0):
+        paths stay lock-free — they were warmed at start()). Each device
+        PROGRAM here carries its own key — encode, detect, and the decode
+        proper — so the lock is held only across a single trace/compile,
+        never across this method's host syncs (detection read, text
+        extraction): a cold beam key must not stall a concurrent cold
+        prepare/admit compile for the whole batch's execution."""
         from ..beam import beam_search_kv
         from ..tokenizer import LANGUAGES
 
         temp = reqs[0].temperature
         K = reqs[0].beam_size if temp == 0 else 1
         n = len(reqs)
+        # always include beam_batch_max so the bucket covers any batch the
+        # collector can produce (an engine configured with one small prefill
+        # bucket must not overflow here)
         buckets = sorted({b for b in self.prefill_buckets
                           if b <= self.beam_batch_max} | {self.beam_batch_max})
         bucket = _bucket(n, buckets)
+        prev_w = self._prev_width([len(self._context_ids(r)) for r in reqs])
         mel = np.zeros((bucket, N_SAMPLES), np.float32)
         lengths = np.zeros((bucket,), np.int32)
         for i, r in enumerate(reqs):
             a = r.audio[:N_SAMPLES]
             mel[i, : len(a)] = a
             lengths[i] = len(a)
-        cross = self._encode_fn(self.params, jnp.asarray(mel),
-                                jnp.asarray(lengths))
+        cross = self._traced_call(
+            ("aux_encode", bucket), self._encode_fn, self.params,
+            jnp.asarray(mel), jnp.asarray(lengths))
 
         auto_rows = [i for i, r in enumerate(reqs)
                      if r.language in (None, "auto")]
@@ -1992,7 +2036,8 @@ class ContinuousBatchingEngine:
         if auto_rows and self.cfg.is_multilingual:
             # host sync here is fine: the beam worker is off the decode
             # thread, so greedy slots keep stepping during detection
-            lang_idx_h = np.asarray(self._detect_fn(self.params, cross))
+            lang_idx_h = np.asarray(self._traced_call(
+                ("aux_detect", bucket), self._detect_fn, self.params, cross))
         codes = list(LANGUAGES.keys())[: self.cfg.num_languages]
         langs: List[str] = []
         for i, r in enumerate(reqs):
@@ -2032,7 +2077,9 @@ class ContinuousBatchingEngine:
         if temp > 0:
             from ..decode import greedy_decode_kv
 
-            result = greedy_decode_kv(
+            result = self._traced_call(
+                ("aux_sampled", bucket, round(float(temp), 6), prev_w),
+                greedy_decode_kv,
                 self.params, cross, jnp.asarray(prompts), self.cfg,
                 compute_dtype=self.dt, prompt_len=P,
                 max_tokens=self.max_tokens, suppress_ids=self._suppress,
@@ -2041,7 +2088,9 @@ class ContinuousBatchingEngine:
                 prompt_pad=prompt_pad, sot_index=sot_index,
                 self_kv_quant=self.self_kv_quant)
         else:
-            result = beam_search_kv(
+            result = self._traced_call(
+                ("aux_beam", bucket, K, prev_w),
+                beam_search_kv,
                 self.params, cross, jnp.asarray(prompts), self.cfg,
                 beam_size=K, compute_dtype=self.dt, prompt_len=P,
                 max_tokens=self.max_tokens, suppress_ids=self._suppress,
@@ -2103,7 +2152,7 @@ class ContinuousBatchingEngine:
                 else:
                     if r.word_timestamps:
                         payload["words"] = []
-                    r.future.set_result(payload)
+                    _safe_set_result(r.future, payload)
 
     def _beam_run(self):
         while not self._stop.is_set():
@@ -2115,8 +2164,7 @@ class ContinuousBatchingEngine:
                 self._run_beam_batch(batch)
             except Exception as e:  # noqa: BLE001 — fail the batch, keep serving
                 for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    _safe_set_exception(r.future, e)
             self.stats.busy_seconds_total += time.perf_counter() - t0
 
     def _tick(self):

@@ -225,7 +225,8 @@ def _parse_asr_request(body: bytes, ctype: str, headers, qs: dict):
               "temperature": qs.get("temperature", "0"),
               "word_timestamps": qs.get("word_timestamps", "0"),
               "initial_prompt": qs.get("initial_prompt", ""),
-              "condition_on_previous": qs.get("condition_on_previous", "0")}
+              "condition_on_previous": qs.get("condition_on_previous", "0"),
+              "format": qs.get("format", "json")}
     try:
         if ctype.startswith("multipart/form-data"):
             from .wire import parse_multipart
@@ -247,9 +248,20 @@ def _parse_asr_request(body: bytes, ctype: str, headers, qs: dict):
                          ("word_timestamps", "X-Word-Timestamps"),
                          ("initial_prompt", "X-Initial-Prompt"),
                          ("condition_on_previous",
-                          "X-Condition-On-Previous")):
+                          "X-Condition-On-Previous"),
+                         ("format", "X-Format")):
                 v = headers.get(h)
                 if v:
+                    if k == "initial_prompt":
+                        # header values arrive latin-1 (HTTP); recover the
+                        # utf-8 prompt NOW so params holds the true text —
+                        # hdrs_for/_stream_window re-encode for the wire,
+                        # and skipping this step double-encoded non-ASCII
+                        # (zh) prompts on the fleet split path
+                        try:
+                            v = v.encode("latin-1").decode("utf-8")
+                        except (UnicodeDecodeError, UnicodeEncodeError):
+                            pass
                     params[k] = v
         else:
             audio = load_audio(body)
@@ -269,6 +281,15 @@ class RouterHandler(BaseHTTPRequestHandler):
         body = json.dumps(payload, ensure_ascii=False).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_text(self, code: int, text: str, content_type: str):
+        body = text.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
         self.send_header("Access-Control-Allow-Origin", "*")
         self.end_headers()
@@ -311,6 +332,18 @@ class RouterHandler(BaseHTTPRequestHandler):
         audio = np.asarray(audio, np.float32).reshape(-1)
         if audio.size <= N_SAMPLES:
             return False
+
+        from ..formats import HTTP_CONTENT_TYPES
+        fmt = str(params.get("format") or "json").lower()
+        if fmt not in HTTP_CONTENT_TYPES:
+            self._send(400, {"success": False,
+                             "error": f"bad format {fmt!r}; known: "
+                                      f"{sorted(HTTP_CONTENT_TYPES)}"})
+            return True
+        if fmt in ("srt", "vtt", "tsv"):
+            # subtitle segments come from word timings: force them on the
+            # windows so the merged payload can be rendered here
+            params["word_timestamps"] = "1"
 
         from ..longform import merge_transcripts, split_audio
 
@@ -395,7 +428,13 @@ class RouterHandler(BaseHTTPRequestHandler):
         if str(params["word_timestamps"]).lower() in ("1", "true", "yes",
                                                       "on"):
             out["words"] = merged.get("words", [])
-        self._send(200, out)
+        if fmt != "json":
+            from ..formats import render_payload
+
+            self._send_text(200, render_payload(out, fmt),
+                            HTTP_CONTENT_TYPES[fmt])
+        else:
+            self._send(200, out)
         return True
 
     # ---------------------------------------------------- streaming split
@@ -471,6 +510,12 @@ class RouterHandler(BaseHTTPRequestHandler):
         audio = np.asarray(audio, np.float32).reshape(-1)
         if audio.size <= N_SAMPLES:
             return False
+        if str(params.get("format") or "json").lower() != "json":
+            # same contract as the server: streaming is NDJSON-only
+            self._send(400, {"success": False,
+                             "error": "format is not supported with "
+                                      "streaming (NDJSON only)"})
+            return True
         self._split_params = params
         router = self.router
         overlap = int(router.longform_overlap_s * SAMPLE_RATE)

@@ -14,6 +14,10 @@ Per-request decoding quality is selectable with ``beam`` (query string or
 multipart field; ``X-Beam`` header on the octet-stream protocol): beam=1
 (default) uses the continuous-batching greedy slots, beam=K>1 routes to the
 engine's micro-batched beam worker. The reference is greedy-only.
+
+``format=srt|vtt|tsv|txt`` (query/field/``X-Format``) renders the transcript
+through the CLI's subtitle writers (formats.py) instead of the JSON payload;
+subtitle formats imply word_timestamps (segments come from word timings).
 """
 
 from __future__ import annotations
@@ -40,6 +44,16 @@ class WhisperHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", "application/json; charset=utf-8")
         self.send_header("Content-Length", str(len(body)))
         # CORS, like the C++ server (cpp/src/WhisperHTTPServer.hpp:36-38)
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Methods", "POST, GET, OPTIONS")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_text(self, code: int, text: str, content_type: str):
+        body = text.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
         self.send_header("Access-Control-Allow-Origin", "*")
         self.send_header("Access-Control-Allow-Methods", "POST, GET, OPTIONS")
         self.end_headers()
@@ -137,6 +151,9 @@ class WhisperHandler(BaseHTTPRequestHandler):
             # header on the octet-stream protocol rides latin-1 per HTTP)
             initial_prompt = qs.get("initial_prompt") or None
             cond_prev = qs.get("condition_on_previous", "0")
+            # transcript rendering: the CLI's writers, served (srt/vtt/
+            # tsv/txt; json = the raw payload, default)
+            fmt = qs.get("format", "json")
 
             if ctype.startswith("multipart/form-data"):
                 fields = parse_multipart(body, ctype)
@@ -154,6 +171,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                                   or initial_prompt)
                 cond_prev = (fields.get("condition_on_previous", cond_prev)
                              or cond_prev)
+                fmt = fields.get("format", fmt) or fmt
             elif ctype.startswith("application/octet-stream"):
                 if len(body) % 4 != 0:
                     # C++ server semantics (WhisperHTTPServer.hpp:60-71)
@@ -175,6 +193,7 @@ class WhisperHandler(BaseHTTPRequestHandler):
                         initial_prompt = hp
                 cond_prev = self.headers.get("X-Condition-On-Previous",
                                              cond_prev)
+                fmt = self.headers.get("X-Format", fmt)
             else:
                 # bare WAV body as a convenience
                 audio = load_audio(body)
@@ -207,8 +226,24 @@ class WhisperHandler(BaseHTTPRequestHandler):
             word_ts = str(word_ts).lower() in ("1", "true", "yes", "on")
             cond_prev = str(cond_prev).lower() in ("1", "true", "yes", "on")
 
+            from ..formats import HTTP_CONTENT_TYPES, render_payload
+
+            fmt = (fmt or "json").lower()
+            if fmt not in HTTP_CONTENT_TYPES:
+                self._send(400, {"success": False,
+                                 "error": f"bad format {fmt!r}; known: "
+                                          f"{sorted(HTTP_CONTENT_TYPES)}"})
+                return
+            if fmt in ("srt", "vtt", "tsv"):
+                word_ts = True  # subtitle segments come from word timings
+
             stream = self.headers.get("X-Stream") == "1" or qs.get("stream") == "1"
             if stream:
+                if fmt != "json":
+                    self._send(400, {"success": False,
+                                     "error": "format is not supported with "
+                                              "streaming (NDJSON only)"})
+                    return
                 self._stream_request(audio, language, task, beam, temperature,
                                      word_timestamps=word_ts,
                                      initial_prompt=initial_prompt,
@@ -221,7 +256,11 @@ class WhisperHandler(BaseHTTPRequestHandler):
                                              initial_prompt=initial_prompt,
                                              condition_on_previous=cond_prev))
             result = fut.result(timeout=self.request_timeout_s)
-            self._send(200, result)
+            if fmt != "json":
+                self._send_text(200, render_payload(result, fmt),
+                                HTTP_CONTENT_TYPES[fmt])
+            else:
+                self._send(200, result)
         except OverloadedError as e:
             self._send(503, {"success": False, "error": str(e)})
         except WavFormatError as e:
