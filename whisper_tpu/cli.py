@@ -58,6 +58,14 @@ def get_args(argv=None):
     p.add_argument("--output_dir", "-o", default=None,
                    help="write one <input-stem>.<format> per input here "
                         "(default: print to stdout)")
+    p.add_argument("--spec_draft", default=None,
+                   help="draft model size for speculative decoding "
+                        "(spec_decode.py; greedy-only — implies the OpenAI "
+                        "suppression filters are OFF)")
+    p.add_argument("--spec_draft_checkpoint", default=None,
+                   help="draft checkpoint path (.pt/safetensors)")
+    p.add_argument("--spec_gamma", type=int, default=4,
+                   help="draft tokens proposed per verify window")
     return p.parse_args(argv)
 
 
@@ -86,7 +94,16 @@ def main(argv=None) -> int:
         condition_on_previous_text=not args.no_condition,
         word_timestamps=args.word_timestamps,
         alignment_heads=args.alignment_heads,
+        # spec decode is argmax-only; the suppression grammar is
+        # sequential state the verify window cannot replay
+        apply_filters=not (args.spec_draft or args.spec_draft_checkpoint),
+        spec_draft=args.spec_draft,
+        spec_draft_checkpoint=args.spec_draft_checkpoint,
+        spec_gamma=args.spec_gamma,
     )
+    if args.spec_draft or args.spec_draft_checkpoint:
+        print("speculative decoding: suppression filters disabled "
+              "(greedy/argmax-only path)", file=sys.stderr)
     print(f"Init model cost: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     if args.longform:
@@ -118,6 +135,11 @@ def main(argv=None) -> int:
             f"  audio {r.audio_seconds:.2f}s  wall {r.wall_seconds:.2f}s  RTF {r.rtf:.4f}",
             file=sys.stderr,
         )
+    if pipe.last_spec_stats is not None:
+        s = pipe.last_spec_stats
+        print(f"speculative: acceptance {s['acceptance']:.1%} "
+              f"({s['accepted']}/{s['drafted']} draft tokens, "
+              f"{s['rounds']} rounds)", file=sys.stderr)
     return 0
 
 

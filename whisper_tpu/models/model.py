@@ -837,6 +837,119 @@ def decoder_step_multipos(
     return logits[:, 0], type(kv)(kc, vc)
 
 
+def decoder_window_multipos(
+    params: Params,
+    tokens: jnp.ndarray,   # (B, W) int32 — a token window per stream
+    offsets: jnp.ndarray,  # (B,) int32 — per-stream first write/attend position
+    kv: KVCache,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cfg: WhisperConfig,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """W tokens per stream, each stream at its OWN position — the
+    speculative-decoding verify primitive (spec_decode.py).
+
+    Generalizes ``decoder_step_multipos`` from one token to a width-W
+    window: stream b's tokens occupy absolute positions
+    ``offsets[b] .. offsets[b]+W-1``; the KV cache is scattered at those
+    per-row positions and self-attention sees the validated cache prefix
+    plus the causal part of the window (key_pos <= query_pos). Stale cache
+    entries past the window (a previous round's rejected draft KV) are
+    masked out by the same comparison. Returns (logits (B, W, n_vocab),
+    updated kv) — logits[:, j] predicts the token at position
+    offsets+j+1. No reference analog: the reference decodes strictly one
+    token per NPU call (python/whisper.py:241-253)."""
+    dec = params["decoder"]
+    dt = compute_dtype
+    B, W = tokens.shape
+    T = kv[0].shape[-1]
+    n_head = cfg.n_text_head
+    barange = jnp.arange(B)
+
+    tok_emb = jnp.take(dec["tok_emb"], tokens, axis=0).astype(dt)  # (B, W, D)
+    pos_idx = jnp.clip(offsets[:, None] + jnp.arange(W)[None, :], 0,
+                       dec["pos_emb"].shape[0] - 1)                # (B, W)
+    x = tok_emb + jnp.take(dec["pos_emb"], pos_idx, axis=0).astype(dt)
+
+    # visibility: cache prefix + causal window, per row
+    q_abs = offsets[:, None] + jnp.arange(W)[None, :]              # (B, W)
+    key_pos = jnp.arange(T)[None, None, :]                         # (1, 1, T)
+    vis = (key_pos <= q_abs[:, :, None])[:, None, :, :]            # (B,1,W,T)
+
+    kv_quant = len(cross_kv) == 4
+    self_quant = isinstance(kv, QKVCache)
+    # out-of-bounds window positions (a row near the cache edge) DROP:
+    # clipping would duplicate-write position T-1 and XLA's scatter picks
+    # an arbitrary duplicate — the real entry could lose to stale junk
+    write_pos = q_abs                                              # (B, W)
+
+    def scan_block(carry, inp):
+        p, cross = inp[0], inp[1:]
+        x, kcache, vcache, layer = carry
+        h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
+        if _use_fused_qkv():
+            q, k_new, v_new = _fused_qkv(h, p["attn"], dt)
+        else:
+            q = _linear(h, p["attn"]["wq"], p["attn"]["bq"], dt)
+            k_new = _linear(h, p["attn"]["wk"], None, dt)
+            v_new = _linear(h, p["attn"]["wv"], p["attn"]["bv"], dt)
+        dh = cfg.head_dim_text
+        kh = k_new.reshape(B, W, n_head, dh)
+        vh = v_new.reshape(B, W, n_head, dh)
+        if self_quant:
+            # quantize per (row, position): (B, H, W, dh) -> packed
+            qn, sn = quantize_kv_heads(kh.transpose(0, 2, 1, 3),
+                                       vh.transpose(0, 2, 1, 3))
+            # qn (B, H, 2, dh, W) / sn (B, H, 2, W); scatter W positions at
+            # per-row write_pos: advanced indices (B,1)+(B,W) -> (B, W, ...)
+            kcache = kcache.at[layer, barange[:, None], :, :, :,
+                               write_pos].set(qn.transpose(0, 4, 1, 2, 3),
+                                              mode="drop")
+            vcache = vcache.at[layer, barange[:, None], :, :,
+                               write_pos].set(sn.transpose(0, 3, 1, 2),
+                                              mode="drop")
+            o = attention_int8kv_perpos(
+                _split_heads(q, n_head),
+                jax.lax.dynamic_index_in_dim(kcache, layer, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(vcache, layer, 0, keepdims=False),
+                mask=vis)
+        else:
+            # cache (L, B, H, dh, T): scatter (B, W, H, dh) at write_pos
+            kcache = kcache.at[layer, barange[:, None], :, :, write_pos].set(
+                kh.astype(kcache.dtype), mode="drop")
+            vcache = vcache.at[layer, barange[:, None], :, :, write_pos].set(
+                vh.astype(vcache.dtype), mode="drop")
+            k_full = jax.lax.dynamic_index_in_dim(
+                kcache, layer, 0, keepdims=False).astype(dt)
+            v_full = jax.lax.dynamic_index_in_dim(
+                vcache, layer, 0, keepdims=False).astype(dt)
+            o = attention_kvt(_split_heads(q, n_head), k_full, v_full, mask=vis)
+        x = x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"], dt)
+
+        h = layer_norm(x, p["cross_ln"]["g"], p["cross_ln"]["b"])
+        q = _linear(h, p["cross"]["wq"], p["cross"]["bq"], dt)
+        if kv_quant:
+            o = attention_int8kv(_split_heads(q, n_head), cross[0], cross[1],
+                                 cross[2], cross[3])
+        else:
+            o = attention(_split_heads(q, n_head), cross[0].astype(dt),
+                          cross[1].astype(dt))
+        x = x + _linear(_merge_heads(o), p["cross"]["wo"], p["cross"]["bo"], dt)
+
+        h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
+        h = _gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"], dt))
+        x = x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"], dt)
+        return (x, kcache, vcache, layer + 1), None
+
+    (x, kc, vc, _), _ = jax.lax.scan(
+        scan_block, (x, kv[0], kv[1], 0), (dec["blocks"],) + tuple(cross_kv),
+        unroll=_decode_unroll())
+
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    logits = _logits(x, dec, dt)
+    return logits, type(kv)(kc, vc)
+
+
 # ------------------------------------------------------------------ init
 def _dense_init(key, d_in, d_out, scale=None):
     scale = scale if scale is not None else d_in ** -0.5

@@ -89,6 +89,9 @@ class WhisperPipeline:
         longform_overlap_s: float = 2.0,
         word_timestamps: bool = False,
         alignment_heads: Optional[str] = None,
+        spec_draft: Optional[str] = None,
+        spec_draft_checkpoint: Optional[str] = None,
+        spec_gamma: int = 4,
     ):
         assert task in ("transcribe", "translate")
         self.task = task
@@ -152,6 +155,41 @@ class WhisperPipeline:
         self._suppress_ids = (
             build_suppress_ids(self.cfg, self.tokenizer) if apply_filters else None
         )
+
+        # speculative decoding (spec_decode.py): a draft checkpoint proposes
+        # spec_gamma tokens per target verify window. Greedy/argmax only —
+        # the OpenAI suppression grammar is sequential state the verify
+        # window cannot replay, so the combination is rejected up front
+        # rather than silently ignored.
+        self.spec_gamma = spec_gamma
+        self.draft_params = None
+        self.draft_cfg = None
+        self.last_spec_stats: Optional[dict] = None
+        if spec_draft or spec_draft_checkpoint:
+            if apply_filters or timestamps or (beam_size and beam_size > 1) \
+                    or temperature > 0:
+                raise ValueError(
+                    "speculative decoding is greedy/argmax-only: use "
+                    "apply_filters=False, timestamps=False, beam_size<=1, "
+                    "temperature=0 (spec_decode.py docstring)")
+            if spec_draft_checkpoint is not None:
+                self.draft_params, self.draft_cfg = load_checkpoint(
+                    spec_draft_checkpoint, size=spec_draft or "tiny")
+            else:
+                self.draft_cfg = get_config(spec_draft)
+                self.draft_params = init_params(
+                    self.draft_cfg, jax.random.PRNGKey(seed + 1))
+            if self.draft_cfg.n_vocab != self.cfg.n_vocab:
+                raise ValueError(
+                    f"draft vocab {self.draft_cfg.n_vocab} != target "
+                    f"{self.cfg.n_vocab}: draft and target must share a "
+                    f"tokenizer")
+            if quantize:
+                from .ops.quant import quantize_params
+
+                self.draft_params = quantize_params(self.draft_params)
+            self.draft_params = cast_floating(self.draft_params,
+                                              self.compute_dtype)
 
     # ------------------------------------------------------------------
     def _prepare_batch(self, waves: Sequence[np.ndarray]):
@@ -234,6 +272,35 @@ class WhisperPipeline:
                 self_kv_quant=self.self_kv_quant,
                 sot_index=sot_index,
             )
+        elif self.draft_params is not None:
+            from .spec_decode import speculative_decode_kv
+
+            # the draft encodes the same audio with ITS OWN mel bank (the
+            # 80- vs 128-bin filterbanks are different frequency maps — a
+            # slice of the target's mel would feed the draft garbage and
+            # destroy acceptance)
+            if self.draft_cfg.n_mels != self.cfg.n_mels:
+                mel_d = log_mel_batch(batch, lengths,
+                                      n_mels=self.draft_cfg.n_mels)
+            else:
+                mel_d = mel
+            mel_d = mel_d[..., : 2 * self.draft_cfg.n_audio_ctx]
+            cross_d = encode_cross_kv(
+                self.draft_params, mel_d, self.draft_cfg,
+                self.compute_dtype, kv_quant=self.kv_quant)
+            result = speculative_decode_kv(
+                self.params, cross_kv, self.draft_params, cross_d,
+                jnp.asarray(prompts), self.cfg, self.draft_cfg,
+                gamma=self.spec_gamma, compute_dtype=self.compute_dtype,
+                max_tokens=self.max_tokens,
+                self_kv_quant=self.self_kv_quant, sot_index=sot_index)
+            self.last_spec_stats = {
+                "accepted": int(result.accepted),
+                "drafted": int(result.drafted),
+                "rounds": int(result.rounds),
+                "acceptance": (int(result.accepted)
+                               / max(int(result.drafted), 1)),
+            }
         else:
             result = greedy_decode_kv(
                 self.params,
