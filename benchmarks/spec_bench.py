@@ -42,6 +42,12 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--self_kv_quant", action="store_true")
     p.add_argument("--kv_quant", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="target weights (.pt/safetensors); random-init "
+                        "otherwise — weights-day passes both checkpoints "
+                        "to measure the REAL acceptance rate")
+    p.add_argument("--draft_checkpoint", default=None,
+                   help="draft weights (.pt/safetensors)")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -70,17 +76,39 @@ def main() -> int:
           f"gamma={G} tokens={args.tokens} dtype={args.dtype}",
           file=sys.stderr)
 
-    params = init_params(cfg, jax.random.PRNGKey(0))
-    dparams = init_params(dcfg, jax.random.PRNGKey(1))
+    if args.checkpoint:
+        from whisper_tpu.models.checkpoint import load_checkpoint
+
+        params, cfg = load_checkpoint(args.checkpoint, size=args.model)
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(0))
+    if args.draft_checkpoint:
+        from whisper_tpu.models.checkpoint import load_checkpoint
+
+        dparams, dcfg = load_checkpoint(args.draft_checkpoint,
+                                        size=args.draft)
+    else:
+        dparams = init_params(dcfg, jax.random.PRNGKey(1))
     from whisper_tpu.models.model import cast_floating
 
     params = cast_floating(params, dt)
     dparams = cast_floating(dparams, dt)
 
-    mel = jnp.asarray(
-        np.random.default_rng(0).standard_normal(
-            (B, cfg.n_mels, 3000)).astype(np.float32) * 0.5)
-    mel_d = mel[:, : dcfg.n_mels]
+    # the draft hears the same AUDIO through its own mel bank — 80- and
+    # 128-bin filterbanks are different frequency maps, so a bin-slice of
+    # the target's mel would feed the draft garbage and destroy acceptance
+    # (same contract as pipeline.transcribe_batch's spec path)
+    audio = np.random.default_rng(0).standard_normal(
+        (B, 16000 * 30)).astype(np.float32) * 0.1
+    from whisper_tpu.ops.mel import log_mel_batch
+
+    lengths = jnp.full((B,), audio.shape[1], jnp.int32)
+    mel = log_mel_batch(jnp.asarray(audio), lengths, n_mels=cfg.n_mels)
+    mel = mel[..., : 2 * cfg.n_audio_ctx]
+    mel_d = (mel if dcfg.n_mels == cfg.n_mels
+             else log_mel_batch(jnp.asarray(audio), lengths,
+                                n_mels=dcfg.n_mels))
+    mel_d = mel_d[..., : 2 * dcfg.n_audio_ctx]
     cross_t = encode_cross_kv(params, mel, cfg, dt, kv_quant=args.kv_quant)
     cross_d = encode_cross_kv(dparams, mel_d, dcfg, dt,
                               kv_quant=args.kv_quant)
@@ -109,30 +137,37 @@ def main() -> int:
     kvt = mk_cache(cfg, args.self_kv_quant)
     kvd = mk_cache(dcfg, args.self_kv_quant)
 
-    step_t = jax.jit(lambda tk, of, kv: decoder_step_multipos(
-        params, tk, of, type(kvt)(*kv), cross_t, cfg, dt))
-    step_d = jax.jit(lambda tk, of, kv: decoder_step_multipos(
-        dparams, tk, of, type(kvd)(*kv), cross_d, dcfg, dt))
-    win_t = jax.jit(lambda y, of, kv: decoder_window_multipos(
-        params, y, of, type(kvt)(*kv), cross_t, cfg, dt))
+    # params/cross ride as EXPLICIT jit arguments — closing over them bakes
+    # multi-GB captured constants into the compile request (HTTP 413 from
+    # the remote compiler; same rule as decode_bench.build_step)
+    step_t = jax.jit(lambda pp, cc, tk, of, kv: decoder_step_multipos(
+        pp, tk, of, type(kvt)(*kv), cc, cfg, dt))
+    step_d = jax.jit(lambda pp, cc, tk, of, kv: decoder_step_multipos(
+        pp, tk, of, type(kvd)(*kv), cc, dcfg, dt))
+    win_t = jax.jit(lambda pp, cc, y, of, kv: decoder_window_multipos(
+        pp, y, of, type(kvt)(*kv), cc, cfg, dt))
 
-    c_step, _ = timeit(lambda: step_t(toks1, offs, tuple(kvt)))
-    c_draft, _ = timeit(lambda: step_d(toks1, offs, tuple(kvd)))
+    c_step, _ = timeit(lambda: step_t(params, cross_t, toks1, offs,
+                                      tuple(kvt)))
+    c_draft, _ = timeit(lambda: step_d(dparams, cross_d, toks1, offs,
+                                       tuple(kvd)))
     yW = jnp.full((B, G + 1), 123, jnp.int32)
-    c_verify, _ = timeit(lambda: win_t(yW, offs, tuple(kvt)))
+    c_verify, _ = timeit(lambda: win_t(params, cross_t, yW, offs,
+                                       tuple(kvt)))
 
     cost_round = G * c_draft + c_verify
     # E[n](alpha) = sum_{j=0..G} alpha^j ; solve E[n]*c_step = cost_round
     alphas = np.linspace(0, 1, 2001)
     en = np.array([sum(a ** j for j in range(G + 1)) for a in alphas])
     ok = en * c_step >= cost_round
-    alpha_star = float(alphas[ok][0]) if ok.any() else float("inf")
+    # None = no acceptance rate pays for this draft (valid JSON; inf isn't)
+    alpha_star = round(float(alphas[ok][0]), 4) if ok.any() else None
     for name, v in (("target_step_ms", c_step), ("draft_step_ms", c_draft),
                     (f"verify_w{G+1}_ms", c_verify)):
         print(json.dumps({"metric": f"spec_{name}", "value": round(v, 3),
                           "unit": "ms", "batch": B}))
     print(json.dumps({
-        "metric": "spec_break_even_alpha", "value": round(alpha_star, 4),
+        "metric": "spec_break_even_alpha", "value": alpha_star,
         "unit": "acceptance rate (lower=easier)", "gamma": G,
         "round_cost_ms": round(cost_round, 3),
         "tokens_per_round_needed": round(cost_round / c_step, 3)}))

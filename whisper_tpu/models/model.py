@@ -858,7 +858,14 @@ def decoder_window_multipos(
     masked out by the same comparison. Returns (logits (B, W, n_vocab),
     updated kv) — logits[:, j] predicts the token at position
     offsets+j+1. No reference analog: the reference decodes strictly one
-    token per NPU call (python/whisper.py:241-253)."""
+    token per NPU call (python/whisper.py:241-253).
+
+    Deliberately a structural twin of ``decoder_step_multipos`` — edit
+    the block bodies together. Two intentional divergences: the pallas
+    decode-flash cross path is not taken (it was measured SLOWER than
+    XLA's lowering even at Tq=1, BENCH_NOTES r3, and the window runs at
+    Tq=W), and ``pads`` is unsupported (spec decode shares one prompt
+    prefix per batch)."""
     dec = params["decoder"]
     dt = compute_dtype
     B, W = tokens.shape

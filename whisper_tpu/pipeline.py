@@ -176,6 +176,15 @@ class WhisperPipeline:
                 self.draft_params, self.draft_cfg = load_checkpoint(
                     spec_draft_checkpoint, size=spec_draft or "tiny")
             else:
+                if checkpoint is not None:
+                    # a real target with a random-init draft silently decodes
+                    # correctly but ~gamma-times SLOWER (acceptance ~0) —
+                    # the one misconfiguration that defeats the feature's
+                    # entire point, so reject it instead of warning
+                    raise ValueError(
+                        "target has a real checkpoint but the draft would "
+                        "be random-init (acceptance ~0, pure slowdown): "
+                        "pass spec_draft_checkpoint")
                 self.draft_cfg = get_config(spec_draft)
                 self.draft_params = init_params(
                     self.draft_cfg, jax.random.PRNGKey(seed + 1))
@@ -524,6 +533,14 @@ class WhisperPipeline:
         (OpenAI-canonical), batched across utterances. The default
         transcribe_batch uses fixed windows instead; this strategy tracks
         segment boundaries so windows never cut words."""
+        if self.draft_params is not None:
+            # the seek path decodes with the timestamp grammar (sequential
+            # rule state the verify window cannot replay) — failing loudly
+            # beats silently decoding without the draft the caller asked for
+            raise ValueError(
+                "speculative decoding is not supported on the seek-based "
+                "longform path; use transcribe/transcribe_batch (fixed "
+                "windows) with spec_draft")
         from .longform import transcribe_seek
 
         t0 = time.perf_counter()

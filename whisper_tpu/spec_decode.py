@@ -155,12 +155,22 @@ def speculative_decode_kv(
         done = fstate[:, 0] > 0.5
         alive = jnp.logical_not(done)
 
-        # ---- draft: gamma autoregressive steps from the frontier. The
-        # first step re-feeds the last validated token (never yet fed —
-        # the cache invariant), so no catch-up pass is ever needed.
-        cur = tokens[barange, off - 1]
+        # ---- draft: propose gamma tokens from the frontier. The FIRST
+        # feed is a width-2 window over the last TWO validated tokens:
+        # a fully-accepted previous round leaves the draft cache one
+        # position short of the invariant (the last accepted proposal
+        # g_gamma was generated but never fed), and the width-2 feed
+        # repairs that hole every round — feeding an already-cached
+        # position just rewrites the same values. Remaining gamma-1
+        # proposals are plain 1-wide steps.
+        y0 = jnp.stack([tokens[barange, jnp.maximum(off - 2, 0)],
+                        tokens[barange, off - 1]], axis=1)
+        dlog0, kvd = decoder_window_multipos(
+            draft_params, y0, off - 2, kvd, draft_cross_kv, draft_cfg, dt)
+        cur = jnp.argmax(dlog0[:, 1], axis=-1).astype(jnp.int32)
         g = jnp.zeros((B, gamma), jnp.int32)
-        for j in range(gamma):
+        g = g.at[:, 0].set(cur)
+        for j in range(1, gamma):
             dlogits, kvd = decoder_step_multipos(
                 draft_params, cur, off - 1 + j, kvd, draft_cross_kv,
                 draft_cfg, dt)
