@@ -62,6 +62,13 @@ class TranscribeResult:
 class WhisperPipeline:
     """Load once, transcribe many — batched, single compiled decode program."""
 
+    # class-level defaults so minimal hand-built pipelines (tests construct
+    # via __new__ to skip the heavy init) take the no-draft path
+    draft_params = None
+    draft_cfg = None
+    spec_gamma = 4
+    last_spec_stats: Optional[dict] = None
+
     def __init__(
         self,
         model: str = "tiny",
