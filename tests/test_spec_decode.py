@@ -190,3 +190,40 @@ def test_pipeline_spec_draft_matches_plain(rng):
     with pytest.raises(ValueError):
         WhisperPipeline(model="test-nano", spec_draft="test-nano",
                         apply_filters=True)
+
+
+def test_window_multipos_matches_sequential_steps(setup):
+    """The verify primitive itself: a width-W window pass at per-row
+    offsets produces the same logits and cache writes as W sequential
+    1-wide multipos steps teacher-forced on the same tokens."""
+    from whisper_tpu.models.model import (
+        KVCache,
+        decoder_step_multipos,
+        decoder_window_multipos,
+    )
+
+    params, _, mel, prompt = setup
+    cross = encode_cross_kv(params, mel, NANO)
+    B, W = 3, 4
+    # distinct per-row offsets (the continuous-batching shape)
+    offs = jnp.asarray([5, 7, 6], jnp.int32)
+    toks = jnp.asarray(np.arange(B * W).reshape(B, W) + 100, jnp.int32)
+
+    kv_a = KVCache.create(NANO, B, ctx=NANO.n_text_ctx)
+    logits_w, kv_a = decoder_window_multipos(params, toks, offs, kv_a,
+                                             cross, NANO)
+
+    kv_b = KVCache.create(NANO, B, ctx=NANO.n_text_ctx)
+    seq_logits = []
+    for j in range(W):
+        lj, kv_b = decoder_step_multipos(params, toks[:, j], offs + j,
+                                         kv_b, cross, NANO)
+        seq_logits.append(np.asarray(lj))
+    seq = np.stack(seq_logits, axis=1)  # (B, W, V)
+
+    np.testing.assert_allclose(np.asarray(logits_w), seq,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kv_a.k), np.asarray(kv_b.k),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kv_a.v), np.asarray(kv_b.v),
+                               rtol=2e-4, atol=2e-4)
